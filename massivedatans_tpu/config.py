@@ -1,0 +1,80 @@
+"""Run configuration.
+
+Mirrors the reference's environment-variable flag system (survey §5; reference
+``sample.py:131-197``, ``multi_nested_sampler.py:422-428``) and adds the knobs
+that only exist in the TPU engine (proposal batch sizes, static capacities).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, default))
+
+
+def _env_str(name: str, default: str) -> str:
+    return os.environ.get(name, default)
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    # --- algorithm parameters (reference defaults) ---
+    nlive_points: int = 400          # NLIVE_POINTS (sample.py:165)
+    tolerance: float = 0.5           # sample.py:197
+    nsuperset_draws: int = 10        # SUPERSET_DRAWS (sample.py:188)
+    max_samples: int = 0             # MAXSAMPLES (sample.py:195); 0 = unlimited
+    min_samples: int = 0             # MINSAMPLES (sample.py:196)
+    constrainer: str = "MLFRIENDS"   # CONSTRAINER: MLFRIENDS | MULTIELLIPSOIDS | SLICE
+    metriclearner: str = "truncatedscaling"  # sample.py:134
+    force_shrink: bool = True        # sample.py:134
+    nbootstraps: int = 10            # radfriendsregion.py:59
+    check_every: int = 50            # termination cadence (multi_nested_integrator.py:136)
+
+    # --- TPU engine knobs (no reference equivalent) ---
+    proposal_batch: int = 512        # raw region proposals per fill round
+    eval_batch: int = 128            # candidates scored per fill round (matmul rows)
+    shelf_capacity: int = 8          # per-dataset queue depth (reference: unbounded list)
+    member_capacity: int = 0         # region member cap; 0 = auto (2*nlive rounded up)
+    pile_capacity: int = 0           # point-pile cap; 0 = auto
+    max_fill_rounds: int = 4096      # safety cap on fill loop per NS iteration
+    chunk_iters: int = 50            # NS iterations per device dispatch
+    seed: int = 1                    # numpy.random.seed(1) (sample.py:162)
+    matmul_precision: str = "highest"  # likelihood/distance matmul precision
+    use_focus: bool = True           # focused (empty-shelf) region after superset draws
+    use_groups: bool = True          # connected-component group decomposition (host)
+
+    @classmethod
+    def from_env(cls, **overrides) -> "RunConfig":
+        """Build a config honoring the reference's env flags, then overrides."""
+        kw = dict(
+            nlive_points=_env_int("NLIVE_POINTS", cls.nlive_points),
+            nsuperset_draws=_env_int("SUPERSET_DRAWS", cls.nsuperset_draws),
+            max_samples=_env_int("MAXSAMPLES", cls.max_samples),
+            min_samples=_env_int("MINSAMPLES", cls.min_samples),
+            constrainer=_env_str("CONSTRAINER", cls.constrainer),
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+    def resolve_member_capacity(self, ndata: int) -> int:
+        if self.member_capacity:
+            return self.member_capacity
+        # During the superset phase fewer than 2*nlive unique points exist
+        # whenever datasets are still coupled (multi_nested_sampler.py:218-224).
+        cap = max(2 * self.nlive_points, 256)
+        return _round_up(cap, 128)
+
+    def resolve_pile_capacity(self, ndata: int) -> int:
+        if self.pile_capacity:
+            return self.pile_capacity
+        # Live points + shelves are the only live references; dead points are
+        # streamed out per chunk. Compaction keeps us under this cap.
+        cap = self.nlive_points * 8 + self.shelf_capacity * min(ndata, 4096) + 65536
+        return _round_up(cap, 1024)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

@@ -1,0 +1,51 @@
+"""Problem definition layer.
+
+Reference layer L6 ("problem definition", survey §1) defines a problem as a
+``priortransform(cube)`` plus ``multi_loglikelihood(params, data_mask)``
+(reference ``sample.py:52-108``). The TPU equivalent is batch-first and
+mask-free: the log-likelihood takes a *batch* of parameter vectors and returns
+the full ``[B, D]`` matrix against every dataset in one XLA fusion — masking
+out finished datasets is the integrator's job, and costs nothing because the
+work is a matmul.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    """A many-dataset inference problem.
+
+    ``data`` is an arbitrary pytree of device arrays (spectra, grids,
+    precomputed sums). The two callables are pure jittable functions taking
+    ``data`` explicitly, so a ``Problem`` is itself a pytree that can cross
+    ``jit``/``shard_map`` boundaries with the arrays as leaves.
+
+    - ``prior_transform(u[ndim]) -> x[ndim]`` mirrors reference
+      ``priortransform`` (sample.py:52-58).
+    - ``loglike_batch(data, x[B, ndim]) -> L[B, D]`` replaces reference
+      ``multi_loglikelihood(params, data_mask)`` (sample.py:101-108 /
+      clike.c:34-89), vectorized over a proposal batch on the MXU.
+    """
+
+    data: Any
+    prior_transform: Callable = dataclasses.field(metadata=dict(static=True))
+    loglike_batch: Callable = dataclasses.field(metadata=dict(static=True))
+    ndim: int = dataclasses.field(metadata=dict(static=True))
+    ndata: int = dataclasses.field(metadata=dict(static=True))
+    name: str = dataclasses.field(default="problem", metadata=dict(static=True))
+
+    def loglike(self, x_batch):
+        return self.loglike_batch(self.data, x_batch)
+
+    def transform_batch(self, u_batch):
+        return jax.vmap(self.prior_transform)(u_batch)
+
+    def with_data(self, data) -> "Problem":
+        return dataclasses.replace(self, data=data)

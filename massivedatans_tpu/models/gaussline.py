@@ -1,0 +1,85 @@
+"""Gaussian emission-line model over many spectra.
+
+Reference: ``sample.py:44-108`` (3-parameter line fit) and its C kernel
+``clike.c:34-89``, which evaluates one model curve and accumulates chi^2
+against all masked datasets.
+
+TPU-native form: for a batch of B parameter vectors, predict ``ypred[B, nx]``
+once, then score against all D spectra via
+
+    chi2[b, d] = (||ypred_b||^2 - 2 ypred_b . y_d + ||y_d||^2) / noise^2
+
+so the D-fan-out — the entire point of collaborative nested sampling — is a
+single ``[B, nx] @ [nx, D]`` matmul on the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from massivedatans_tpu.models.base import Problem
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GaussLineData:
+    x: Any       # [nx] wavelength grid
+    y: Any       # [nx, D] spectra
+    ysq: Any     # [D] = sum_j y[j, d]^2, precomputed in float64 on host
+    noise_level: Any  # scalar
+
+
+def gaussline_prior_transform(u):
+    """Reference ``priortransform`` (sample.py:52-58): A, mu, log10(sigma)."""
+    A = 10.0 ** (u[0] * 2.0 - 2.0)
+    mu = u[1] * 400.0 + 400.0
+    log_sig = u[2] * 2.0
+    return jnp.stack([A, mu, log_sig])
+
+
+def gaussline_predict(x_grid, params):
+    """One model curve (sample.py:64-68): ``A * exp(-((mu - x)/sig)^2 / 2)``."""
+    A, mu, log_sig = params[0], params[1], params[2]
+    sig = 10.0 ** log_sig
+    return A * jnp.exp(-0.5 * jnp.square((mu - x_grid) / sig))
+
+
+def chi2_loglike_batch(data: GaussLineData, x_batch):
+    """``L[B, D]`` for all datasets at once via the MXU (replaces clike.c)."""
+    ypred = jax.vmap(lambda p: gaussline_predict(data.x, p))(x_batch)  # [B, nx]
+    cross = jnp.dot(
+        ypred, data.y,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [B, D]
+    ssp = jnp.sum(jnp.square(ypred), axis=1)  # [B]
+    chi2 = ssp[:, None] - 2.0 * cross + data.ysq[None, :]
+    inv_var = 1.0 / jnp.square(data.noise_level)
+    return -0.5 * chi2 * inv_var
+
+
+def make_gaussline_problem(x_grid, y, noise_level=0.01) -> Problem:
+    """Build the line-fit problem from a ``[nx]`` grid and ``[nx, D]`` spectra."""
+    import numpy as np
+
+    x_grid = np.asarray(x_grid, dtype=np.float64)
+    y64 = np.asarray(y, dtype=np.float64)
+    nx, ndata = y64.shape
+    data = GaussLineData(
+        x=jnp.asarray(x_grid, dtype=jnp.float32),
+        y=jnp.asarray(y64, dtype=jnp.float32),
+        ysq=jnp.asarray((y64 ** 2).sum(axis=0), dtype=jnp.float32),
+        noise_level=jnp.float32(noise_level),
+    )
+    return Problem(
+        data=data,
+        prior_transform=gaussline_prior_transform,
+        loglike_batch=chi2_loglike_batch,
+        ndim=3,
+        ndata=ndata,
+        name="gaussline",
+    )

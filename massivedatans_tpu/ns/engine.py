@@ -1,0 +1,381 @@
+"""The joint nested-sampling engine: one jitted step over all datasets.
+
+TPU-native re-design of reference ``multi_nested_sampler.py:49-569``:
+
+- The point pile, live-point index matrix and shelves are static-shape HBM
+  arrays inside one state pytree (survey §7 design translation).
+- The reference's scalar rejection loop ("draw one candidate, test
+  ``any(L > Lmins)``", hiermetriclearn.py:179-196) becomes a
+  ``lax.while_loop`` over *proposal batches*: each round proposes a batch
+  from the region, scores it against every dataset in one MXU matmul, and
+  scatters all acceptances into all shelves at once — strictly more
+  evaluation re-use than the reference.
+- Superset draws for the first ``nsuperset_draws`` rounds, then focused
+  draws whose region is rebuilt from only the empty-shelf datasets' live
+  points (reference ``__next__`` policy, multi_nested_sampler.py:365-392).
+- The streaming logZ/H update (reference ``multi_nested_integrator.py:
+  105-161``) runs on-device as part of the same step, so a whole chunk of
+  NS iterations is one device dispatch.
+
+Race-free by construction: all shelf/pile writes are pure functional
+scatters (the reference's OpenMP likelihood had a shared-index race and is
+disabled, clike.c:32).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from massivedatans_tpu.config import RunConfig
+from massivedatans_tpu.models.base import Problem
+from massivedatans_tpu.ns import shelves as shelves_lib
+from massivedatans_tpu.ns.region import Region, build_region, sample_region, identity_metric
+from massivedatans_tpu.ns.shelves import Shelves
+
+_NEG_INF = -jnp.inf
+
+
+class EngineState(NamedTuple):
+    key: jax.Array
+    # --- point pile (multi_nested_sampler.py:106-107) ---
+    pile_u: jax.Array      # [P, ndim]
+    pile_x: jax.Array      # [P, ndim]
+    pile_size: jax.Array   # scalar int32
+    # --- live points (multi_nested_sampler.py:108-111) ---
+    live_idx: jax.Array    # [K, D] int32 indices into the pile
+    live_L: jax.Array      # [K, D]
+    shelves: Shelves
+    running: jax.Array     # [D] bool (replaces cut_down reshapes; survey §7)
+    Lmax: jax.Array        # [D]
+    # --- integration state (multi_nested_integrator.py:90-122) ---
+    logZ: jax.Array        # [D]
+    H: jax.Array           # [D]
+    logVolremaining: jax.Array  # scalar
+    logwidth: jax.Array    # scalar, current iteration's log slab width
+    last_logwidth: jax.Array    # [D], frozen at termination
+    iteration: jax.Array   # scalar int32
+    ndraws: jax.Array      # scalar int32: likelihood-evaluated candidates
+    # --- region cache (force_shrink memory, hiermetriclearn.py:53-55) ---
+    prev_scale: jax.Array  # [ndim]
+    prev_radius: jax.Array  # scalar
+    # --- diagnostics ---
+    stall_count: jax.Array  # [D] int32: fill rounds exhausted with empty shelf
+    member_overflow: jax.Array  # scalar int32: unique live points > capacity events
+
+
+class DeadChunk(NamedTuple):
+    """Per-iteration dead points streamed back to the host integrator."""
+
+    u: jax.Array         # [T, D, ndim]
+    x: jax.Array         # [T, D, ndim]
+    L: jax.Array         # [T, D] (-inf where not advanced)
+    logwidth: jax.Array  # [T]
+    running: jax.Array   # [T, D]
+
+
+def _safe_logaddexp_update(logZ, H, wi, Li):
+    """One streaming (logZ, H) nested-sampling update, -inf-safe."""
+    logZnew = jnp.logaddexp(logZ, wi)
+    t1 = jnp.exp(wi - logZnew) * Li
+    old = jnp.exp(logZ - logZnew) * (H + logZ)
+    t2 = jnp.where(jnp.isfinite(logZ), old, 0.0)
+    Hnew = t1 + t2 - logZnew
+    return logZnew, Hnew
+
+
+def unique_members(live_idx, col_mask, capacity: int):
+    """Compacted unique pile indices over the selected dataset columns.
+
+    Replaces ``get_unique_pointsp`` (multi_nested_sampler.py:130-132). Returns
+    ``(members_idx[M], member_mask[M], overflowed)``; when more than
+    ``capacity`` unique points exist the excess (largest pile indices, i.e.
+    newest points) is dropped and ``overflowed`` is set.
+    """
+    flat = jnp.where(col_mask[None, :], live_idx, -1).reshape(-1)
+    flat = jnp.sort(flat)
+    first = jnp.concatenate([flat[:1] >= 0, (flat[1:] != flat[:-1]) & (flat[1:] >= 0)])
+    pos = jnp.cumsum(first) - 1
+    n_unique = first.sum().astype(jnp.int32)
+    write_pos = jnp.where(first & (pos < capacity), pos, capacity)
+    members_idx = jnp.zeros((capacity,), jnp.int32).at[write_pos].max(
+        jnp.where(first, flat, 0), mode="drop"
+    )
+    n_kept = jnp.minimum(n_unique, capacity)
+    member_mask = jnp.arange(capacity) < n_kept
+    return members_idx, member_mask, (n_unique > capacity).astype(jnp.int32)
+
+
+def _build_region_from(state: EngineState, col_mask, key, cfg: RunConfig,
+                       member_capacity: int):
+    members_idx, member_mask, overflow = unique_members(
+        state.live_idx, col_mask, member_capacity
+    )
+    members_u = state.pile_u[members_idx]
+    region = build_region(
+        members_u,
+        member_mask,
+        key,
+        nbootstraps=cfg.nbootstraps,
+        metriclearner=cfg.metriclearner,
+        prev_scale=state.prev_scale if cfg.force_shrink else None,
+        prev_radius=state.prev_radius if cfg.force_shrink else None,
+    )
+    return region, overflow
+
+
+def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
+    """Draw the initial live points, shared across all datasets
+    (multi_nested_sampler.py:91-104: the same u serves every dataset)."""
+    K = cfg.nlive_points
+    D = problem.ndata
+    ndim = problem.ndim
+    P = cfg.resolve_pile_capacity(D)
+    key, k_init = jax.random.split(key)
+    u0 = jax.random.uniform(k_init, (K, ndim), dtype=jnp.float32)
+    x0 = problem.transform_batch(u0)
+    L0 = problem.loglike(x0)  # [K, D]
+
+    pile_u = jnp.zeros((P, ndim), jnp.float32).at[:K].set(u0)
+    pile_x = jnp.zeros((P, ndim), jnp.float32).at[:K].set(x0)
+    live_idx = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, D))
+
+    return EngineState(
+        key=key,
+        pile_u=pile_u,
+        pile_x=pile_x,
+        pile_size=jnp.int32(K),
+        live_idx=live_idx,
+        live_L=L0.astype(jnp.float32),
+        shelves=shelves_lib.init_shelves(cfg.shelf_capacity, D),
+        running=jnp.ones((D,), bool),
+        Lmax=L0.max(axis=0),
+        logZ=jnp.full((D,), _NEG_INF, jnp.float32),
+        H=jnp.zeros((D,), jnp.float32),
+        logVolremaining=jnp.float32(0.0),
+        logwidth=jnp.float32(jnp.log1p(-jnp.exp(-1.0 / K))),
+        last_logwidth=jnp.zeros((D,), jnp.float32),
+        iteration=jnp.int32(0),
+        ndraws=jnp.int32(K),
+        prev_scale=jnp.zeros((ndim,), jnp.float32),
+        prev_radius=jnp.float32(0.0),
+        stall_count=jnp.zeros((D,), jnp.int32),
+        member_overflow=jnp.int32(0),
+    )
+
+
+def _fill_shelves(problem: Problem, state: EngineState, region: Region,
+                  cfg: RunConfig, member_capacity: int):
+    """Propose/evaluate/scatter until every running dataset has a queued
+    candidate (reference __next__ fill loop, multi_nested_sampler.py:365-489).
+    """
+    B = cfg.eval_batch
+    nprop = cfg.proposal_batch
+    S = cfg.shelf_capacity
+    focus_every = 16
+
+    def cond(carry):
+        (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd, region,
+         overflow) = carry
+        empty = state.running & (shelves.count == 0)
+        return (rnd < cfg.max_fill_rounds) & jnp.any(empty)
+
+    def body(carry):
+        (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd, region,
+         overflow) = carry
+        key, k_focus, k_prop = jax.random.split(key, 3)
+
+        # Focused draws: after nsuperset_draws rounds, rebuild the region from
+        # only the empty-shelf datasets' live points (the reference's
+        # data_mask = empty_mask policy, multi_nested_sampler.py:375-381).
+        def refocus(_):
+            empty = state.running & (shelves.count == 0)
+            st = state._replace(pile_u=pile_u)
+            reg, ovf = _build_region_from(st, empty, k_focus, cfg, member_capacity)
+            return reg, overflow + ovf
+
+        do_refocus = (
+            cfg.use_focus
+            & (rnd >= cfg.nsuperset_draws)
+            & ((rnd - cfg.nsuperset_draws) % focus_every == 0)
+        )
+        region2, overflow = jax.lax.cond(
+            do_refocus, refocus, lambda _: (region, overflow), None
+        )
+
+        u_prop, ok = sample_region(region2, k_prop, nprop)
+        # compact accepted proposals to the fixed evaluation batch
+        order = jnp.argsort(~ok)  # stable: in-region proposals first
+        take = order[:B]
+        cand_u = u_prop[take]
+        valid = ok[take]
+        cand_x = problem.transform_batch(cand_u)
+        L = problem.loglike(cand_x)  # [B, D] — the MXU matmul
+
+        thresh = shelves_lib.insertion_thresholds(state.live_L, shelves)  # [D]
+        space = shelves.count < S
+        acc = (
+            valid[:, None]
+            & state.running[None, :]
+            & space[None, :]
+            & (L > thresh[None, :])
+        )
+
+        # pile append for candidates accepted anywhere
+        newpt = jnp.any(acc, axis=1)
+        newpt_i = newpt.astype(jnp.int32)
+        slots = pile_size + jnp.cumsum(newpt_i) - newpt_i
+        P = pile_u.shape[0]
+        can_store = newpt & (slots < P)
+        write_slots = jnp.where(can_store, slots, P)  # OOB rows dropped
+        pile_u = pile_u.at[write_slots].set(cand_u, mode="drop")
+        pile_x = pile_x.at[write_slots].set(cand_x, mode="drop")
+        acc = acc & can_store[:, None]
+        cand_pile_idx = jnp.where(can_store, slots, -1).astype(jnp.int32)
+
+        shelves = shelves_lib.append_batch(shelves, cand_pile_idx, L, acc)
+        ndraws = ndraws + valid.sum().astype(jnp.int32)
+        pile_size = pile_size + can_store.sum().astype(jnp.int32)
+        return (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd + 1,
+                region2, overflow)
+
+    carry = (state.key, state.pile_u, state.pile_x, state.pile_size,
+             state.shelves, state.ndraws, jnp.int32(0), region,
+             jnp.int32(0))
+    (key, pile_u, pile_x, pile_size, shelves, ndraws, rounds, _region,
+     overflow) = jax.lax.while_loop(cond, body, carry)
+    return state._replace(
+        key=key, pile_u=pile_u, pile_x=pile_x, pile_size=pile_size,
+        shelves=shelves, ndraws=ndraws,
+        member_overflow=state.member_overflow + overflow,
+    )
+
+
+def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
+                 member_capacity: int):
+    """One joint NS iteration: clean shelves, fill, advance every dataset,
+    update the streaming evidence (reference __next__ + integrator body)."""
+    D = problem.ndata
+    K = cfg.nlive_points
+
+    Lmins = state.live_L.min(axis=0)
+    shelves = shelves_lib.clean(state.shelves, Lmins)
+    state = state._replace(shelves=shelves)
+
+    key, k_region = jax.random.split(state.key)
+    state = state._replace(key=key)
+    region, overflow = _build_region_from(
+        state, state.running, k_region, cfg, member_capacity
+    )
+    state = state._replace(
+        prev_scale=region.metric.scale,
+        prev_radius=region.radius,
+        member_overflow=state.member_overflow + overflow,
+    )
+
+    state = _fill_shelves(problem, state, region, cfg, member_capacity)
+
+    # --- advance: replace each dataset's worst live point (.:494-534) ---
+    filled = state.shelves.count > 0
+    adv = state.running & filled
+    cols = jnp.arange(D)
+    worst = jnp.argmin(state.live_L, axis=0)  # [D]
+    dead_p = state.live_idx[worst, cols]
+    dead_L = state.live_L[worst, cols]
+    dead_u = state.pile_u[dead_p]
+    dead_x = state.pile_x[dead_p]
+
+    head_idx, head_L, shelves = shelves_lib.pop(state.shelves, adv)
+    live_idx = state.live_idx.at[worst, cols].set(
+        jnp.where(adv, head_idx, dead_p)
+    )
+    live_L = state.live_L.at[worst, cols].set(jnp.where(adv, head_L, dead_L))
+
+    # --- streaming evidence update (multi_nested_integrator.py:105-161) ---
+    logwidth = jnp.log1p(-jnp.exp(-1.0 / K)) + state.logVolremaining
+    wi = logwidth + dead_L
+    logZnew, Hnew = _safe_logaddexp_update(state.logZ, state.H, wi, dead_L)
+    logZ = jnp.where(adv, logZnew, state.logZ)
+    H = jnp.where(adv, Hnew, state.H)
+    last_logwidth = jnp.where(state.running, logwidth, state.last_logwidth)
+
+    state = state._replace(
+        shelves=shelves,
+        live_idx=live_idx,
+        live_L=live_L,
+        Lmax=live_L.max(axis=0),
+        logZ=logZ,
+        H=H,
+        logwidth=logwidth,
+        last_logwidth=last_logwidth,
+        logVolremaining=state.logVolremaining - 1.0 / K,
+        iteration=state.iteration + 1,
+        stall_count=state.stall_count + (state.running & ~filled),
+    )
+    dead = DeadChunk(
+        u=jnp.where(adv[:, None], dead_u, 0.0),
+        x=jnp.where(adv[:, None], dead_x, 0.0),
+        L=jnp.where(adv, dead_L, _NEG_INF),
+        logwidth=logwidth,
+        running=state.running,
+    )
+    return state, dead
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "member_capacity", "n_iters"))
+def run_chunk(problem: Problem, state: EngineState, cfg: RunConfig,
+              member_capacity: int, n_iters: int):
+    """Run ``n_iters`` NS iterations in one device dispatch."""
+
+    def step(st, _):
+        return ns_iteration(problem, st, cfg, member_capacity)
+
+    return jax.lax.scan(step, state, None, length=n_iters)
+
+
+@functools.partial(jax.jit, static_argnames=("nlive",))
+def integrate_remainder(live_L, logZ, H, logwidth, Lmax, nlive: int):
+    """Vectorized remainder integration + termination criterion
+    (reference ``integrate_remainder``, multi_nested_integrator.py:26-59).
+
+    Returns (remainderZ, remainderZerr, totalZ, totalZerr), each [D].
+    """
+    Ls_sorted = jnp.sort(live_L, axis=0)  # [K, D] ascending
+    L0 = Lmax
+    Ls = jnp.exp(Ls_sorted - L0[None, :])
+    Lmax_sum = Ls[1:].sum(axis=0) + Ls[-1]
+    Lmin_sum = Ls[:-1].sum(axis=0) + Ls[0]
+    logLmid = jnp.log(Ls.sum(axis=0)) + L0
+    logZmid = jnp.logaddexp(logZ, logwidth + logLmid)
+    logZup = jnp.logaddexp(logZ, logwidth + jnp.log(Lmax_sum) + L0)
+    logZlo = jnp.logaddexp(logZ, logwidth + jnp.log(Lmin_sum) + L0)
+    logZerr = logZup - logZlo
+
+    def body(carry, L_row):
+        logZc, Hc = carry
+        wi = logwidth + L_row
+        logZn, Hn = _safe_logaddexp_update(logZc, Hc, wi, L_row)
+        Hn = jnp.maximum(Hn, 0.0)
+        return (logZn, Hn), None
+
+    (_, Hf), _ = jax.lax.scan(body, (logZ, H), Ls_sorted)
+    totalZerr = logZerr + jnp.sqrt(Hf / nlive)
+    return logwidth + logLmid, logZerr, logZmid, totalZerr
+
+
+@jax.jit
+def capture_tails(state: EngineState, cols):
+    """Sorted live points (ascending L) for the selected dataset columns —
+    the remainder tail saved at termination (multi_nested_integrator.py:
+    149-151, sampler ``remainder()``, multi_nested_sampler.py:536-562)."""
+    live_L = state.live_L[:, cols]           # [K, T]
+    live_idx = state.live_idx[:, cols]       # [K, T]
+    order = jnp.argsort(live_L, axis=0)
+    idx_sorted = jnp.take_along_axis(live_idx, order, axis=0)
+    L_sorted = jnp.take_along_axis(live_L, order, axis=0)
+    u = state.pile_u[idx_sorted]             # [K, T, ndim]
+    x = state.pile_x[idx_sorted]
+    return u, x, L_sorted

@@ -1,0 +1,235 @@
+"""Host-side nested-sampling driver.
+
+Mirrors reference ``multi_nested_integrator.py:80-175``, but the per-iteration
+work (fill/advance/logZ/H) runs on-device in chunks of ``cfg.chunk_iters``
+iterations per dispatch (engine.run_chunk); the host only:
+
+- accumulates the dead-point stream into the posterior 'weights' record,
+- evaluates the termination criterion every chunk (the reference's every-50
+  cadence, multi_nested_integrator.py:136),
+- captures remainder tails for terminating datasets and masks them out
+  (replacing ``cut_down``'s array reshapes with a ``running`` mask),
+- compacts the point pile when it nears capacity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from massivedatans_tpu.config import RunConfig
+from massivedatans_tpu.models.base import Problem
+from massivedatans_tpu.ns import engine as engine_lib
+from massivedatans_tpu.ns.engine import EngineState
+from massivedatans_tpu.utils.progress import ProgressReporter
+
+log = logging.getLogger("massivedatans_tpu")
+
+
+@dataclasses.dataclass
+class NSResult:
+    """Reference output contract (sample.py:202-217)."""
+
+    logZ: np.ndarray        # [D]
+    logZerr: np.ndarray     # [D]
+    u: np.ndarray           # [niter + nlive, D, ndim]
+    x: np.ndarray           # [niter + nlive, D, ndim]
+    L: np.ndarray           # [niter + nlive, D]
+    w: np.ndarray           # [niter + nlive, D] log-widths
+    mask: np.ndarray        # [niter + nlive, D] running mask per record
+    information: np.ndarray  # [D] H
+    niterations: int
+    ndraws: int
+    duration: float
+    stats: dict
+
+
+def _pad_cols(cols: np.ndarray) -> np.ndarray:
+    """Pad a column-index list to a power-of-two length (repeat last entry) so
+    capture_tails compiles for O(log D) distinct shapes only."""
+    n = len(cols)
+    target = 1
+    while target < n:
+        target *= 2
+    return np.concatenate([cols, np.full(target - n, cols[-1], cols.dtype)])
+
+
+def compact_pile(state: EngineState) -> EngineState:
+    """Drop pile entries no longer referenced by live points or shelves.
+
+    The reference pile grows without bound (multi_nested_sampler.py:479);
+    dead points here are streamed out per chunk, so only live/shelved points
+    need to stay resident (survey §7 'pile growth / memory').
+    """
+    live_idx = np.asarray(state.live_idx)
+    shelf_idx = np.asarray(state.shelves.idx)
+    refs = np.unique(np.concatenate([live_idx.ravel(), shelf_idx[shelf_idx >= 0]]))
+    n = len(refs)
+    P = state.pile_u.shape[0]
+    refs_dev = jnp.asarray(refs, dtype=jnp.int32)
+    new_pile_u = jnp.zeros_like(state.pile_u).at[:n].set(state.pile_u[refs_dev])
+    new_pile_x = jnp.zeros_like(state.pile_x).at[:n].set(state.pile_x[refs_dev])
+    new_live = np.searchsorted(refs, live_idx).astype(np.int32)
+    new_shelf = np.where(
+        shelf_idx >= 0, np.searchsorted(refs, np.maximum(shelf_idx, 0)), -1
+    ).astype(np.int32)
+    log.info("pile compaction: %d -> %d (cap %d)", int(state.pile_size), n, P)
+    return state._replace(
+        pile_u=new_pile_u,
+        pile_x=new_pile_x,
+        pile_size=jnp.int32(n),
+        live_idx=jnp.asarray(new_live),
+        shelves=state.shelves._replace(idx=jnp.asarray(new_shelf)),
+    )
+
+
+def multi_nested_integrator(
+    problem: Problem,
+    cfg: Optional[RunConfig] = None,
+    key=None,
+    tolerance: Optional[float] = None,
+    max_samples: Optional[int] = None,
+    min_samples: Optional[int] = None,
+    progress: bool = True,
+) -> NSResult:
+    cfg = cfg or RunConfig()
+    tolerance = cfg.tolerance if tolerance is None else tolerance
+    max_samples = cfg.max_samples if max_samples is None else max_samples
+    min_samples = cfg.min_samples if min_samples is None else min_samples
+    if key is None:
+        key = jax.random.key(cfg.seed)
+
+    D = problem.ndata
+    K = cfg.nlive_points
+    ndim = problem.ndim
+    member_capacity = cfg.resolve_member_capacity(D)
+    t0 = time.time()
+
+    state = engine_lib.init_state(problem, key, cfg)
+    pile_cap = state.pile_u.shape[0]
+
+    dead_u, dead_x, dead_L, dead_w, dead_mask = [], [], [], [], []
+    tails_u = np.zeros((K, D, ndim), np.float32)
+    tails_x = np.zeros((K, D, ndim), np.float32)
+    tails_L = np.full((K, D), -np.inf, np.float32)
+    tails_w = np.full((D,), -np.inf, np.float32)
+    last_remainderZ = np.zeros(D, np.float64)
+    last_remainderZerr = np.zeros(D, np.float64)
+    logZerr_running = np.zeros(D, np.float64)
+    running = np.ones(D, bool)
+    reporter = ProgressReporter(enabled=progress, ndata=D)
+
+    while True:
+        state, dead = engine_lib.run_chunk(
+            problem, state, cfg, member_capacity, cfg.chunk_iters
+        )
+        d_L = np.asarray(dead.L)
+        d_run = np.asarray(dead.running)
+        d_w = np.asarray(dead.logwidth)
+        dead_u.append(np.asarray(dead.u))
+        dead_x.append(np.asarray(dead.x))
+        dead_L.append(d_L)
+        dead_w.append(np.where(d_run, d_w[:, None], -np.inf).astype(np.float32))
+        dead_mask.append(d_run)
+
+        it = int(state.iteration)
+        H_np = np.asarray(state.H, np.float64)
+        logZ_np = np.asarray(state.logZ, np.float64)
+        logZerr_running[running] = np.sqrt(np.maximum(H_np[running], 0.0) / K)
+
+        # --- termination check (multi_nested_integrator.py:136-155) ---
+        check = it > min_samples or (max_samples and it > max_samples)
+        if check:
+            remZ, remZerr, totalZ, totalZerr = engine_lib.integrate_remainder(
+                state.live_L, state.logZ, state.H, state.logwidth, state.Lmax, K
+            )
+            remZ = np.asarray(remZ, np.float64)
+            remZerr = np.asarray(remZerr, np.float64)
+            totalZerr_np = np.asarray(totalZerr, np.float64)
+            terminating = running & (totalZerr_np < tolerance)
+            if max_samples and it > max_samples:
+                terminating = running.copy()
+            # force-terminate datasets the sampler cannot fill (diagnostic;
+            # the reference would spin forever here)
+            stalls = np.asarray(state.stall_count)
+            stuck = running & (stalls > 2 * cfg.chunk_iters)
+            if stuck.any():
+                log.warning(
+                    "force-terminating %d stalled datasets", int(stuck.sum())
+                )
+                terminating |= stuck
+            if terminating.any():
+                cols = np.where(terminating)[0].astype(np.int32)
+                padded = _pad_cols(cols)
+                tu, tx, tL = engine_lib.capture_tails(state, jnp.asarray(padded))
+                ncols = len(cols)
+                tails_u[:, cols] = np.asarray(tu)[:, :ncols]
+                tails_x[:, cols] = np.asarray(tx)[:, :ncols]
+                tails_L[:, cols] = np.asarray(tL)[:, :ncols]
+                tails_w[cols] = np.asarray(state.last_logwidth)[cols]
+                last_remainderZ[cols] = remZ[cols]
+                last_remainderZerr[cols] = remZerr[cols]
+                running &= ~terminating
+                state = state._replace(running=jnp.asarray(running))
+            reporter.update(
+                it=it,
+                ndraws=int(state.ndraws),
+                running=int(running.sum()),
+                logZ0=float(np.logaddexp(logZ_np[0], last_remainderZ[0]))
+                if D else 0.0,
+            )
+        if not running.any():
+            break
+        if int(state.pile_size) > 0.85 * pile_cap:
+            state = compact_pile(state)
+
+    niter = int(state.iteration)
+    u = np.concatenate(dead_u, axis=0)[:niter]
+    x = np.concatenate(dead_x, axis=0)[:niter]
+    L = np.concatenate(dead_L, axis=0)[:niter]
+    w = np.concatenate(dead_w, axis=0)[:niter]
+    mask = np.concatenate(dead_mask, axis=0)[:niter]
+
+    # --- append live-point tail rows (multi_nested_integrator.py:163-169) ---
+    tail_mask = np.ones((K, D), bool)
+    tail_w = np.broadcast_to(tails_w[None, :], (K, D)).astype(np.float32)
+    u = np.concatenate([u, tails_u], axis=0)
+    x = np.concatenate([x, tails_x], axis=0)
+    L = np.concatenate([L, tails_L], axis=0)
+    w = np.concatenate([w, tail_w], axis=0)
+    mask = np.concatenate([mask, tail_mask], axis=0)
+
+    logZ_np = np.asarray(state.logZ, np.float64)
+    logZ_final = np.logaddexp(logZ_np, last_remainderZ)
+    logZerr_final = logZerr_running + last_remainderZerr
+    duration = time.time() - t0
+    reporter.finish(niter=niter, ndraws=int(state.ndraws), duration=duration)
+
+    return NSResult(
+        logZ=logZ_final,
+        logZerr=logZerr_final,
+        u=u,
+        x=x,
+        L=L,
+        w=w,
+        mask=mask,
+        information=np.asarray(state.H, np.float64),
+        niterations=niter,
+        ndraws=int(state.ndraws),
+        duration=duration,
+        stats=dict(
+            ndraws=int(state.ndraws),
+            duration=duration,
+            ndata=D,
+            niter=niter,
+            stalled=int(np.asarray(state.stall_count).max(initial=0)),
+            member_overflow=int(state.member_overflow),
+            pile_peak=int(state.pile_size),
+        ),
+    )

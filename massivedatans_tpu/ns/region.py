@@ -1,0 +1,197 @@
+"""MLFriends region geometry, fully on-device.
+
+Re-implements reference layer L2/L3 (survey §1) the TPU way:
+
+- metric learning (reference ``clustering/sdml.py:25-88``: identity /
+  simple / truncated power-of-two scaling) as pure jnp,
+- the bootstrapped RadFriends radius (reference ``clustering/neighbors.py:
+  211-238`` and C kernel ``clustering/cneighbors.c:125-179``) as one masked
+  pairwise-distance matrix plus a vmap over bootstrap rounds,
+- region membership counts (reference ``cneighbors.c:95-119``) as a
+  distance matmul with a compare-and-sum reduction,
+- uniform sampling of (union-of-balls ∩ unit cube) (reference
+  ``clustering/radfriendsregion.py:117-182``: dual box/ball proposal with
+  1/n_near multiplicity correction) as fixed-size masked batches.
+
+Everything is static-shape: member sets are padded to a capacity ``M`` with a
+validity mask, so regions can live inside ``jit``/``scan``/``while_loop``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_BIG = -1e30
+_POS_BIG = 1e30
+
+
+class Metric(NamedTuple):
+    """Diagonal whitening transform (reference sdml.py)."""
+
+    mean: jax.Array   # [ndim]
+    scale: jax.Array  # [ndim]
+
+    def transform(self, u):
+        return (u - self.mean) / self.scale
+
+    def untransform(self, w):
+        return w * self.scale + self.mean
+
+
+def identity_metric(ndim: int) -> Metric:
+    return Metric(mean=jnp.zeros(ndim), scale=jnp.ones(ndim))
+
+
+def fit_metric(u, mask, kind: str = "truncatedscaling") -> Metric:
+    """Masked mean/std whitening; ``truncatedscaling`` quantizes the scale
+    onto powers of two to avoid metric random-walk (sdml.py:60-88)."""
+    mask_f = mask.astype(u.dtype)[:, None]
+    n = jnp.maximum(mask_f.sum(), 1.0)
+    mean = (u * mask_f).sum(axis=0) / n
+    var = (jnp.square(u - mean) * mask_f).sum(axis=0) / n
+    scale = jnp.sqrt(jnp.maximum(var, 1e-24))
+    if kind == "none":
+        return Metric(mean=jnp.zeros_like(mean), scale=jnp.ones_like(scale))
+    if kind == "simplescaling":
+        return Metric(mean=mean, scale=scale)
+    if kind == "truncatedscaling":
+        # round onto a discrete log2 scale relative to the largest axis
+        scalemax = scale.max() * 1.001
+        logscale = jnp.floor(-jnp.log2(scale / scalemax)).astype(jnp.int32)
+        return Metric(mean=mean, scale=2.0 ** (-logscale.astype(u.dtype)))
+    raise ValueError(f"unknown metriclearner {kind!r}")
+
+
+class Region(NamedTuple):
+    """Union-of-balls region around (whitened) member points."""
+
+    members_w: jax.Array   # [M, ndim] whitened members (rows beyond mask: junk)
+    member_mask: jax.Array  # [M] bool
+    n_members: jax.Array   # scalar int32
+    metric: Metric
+    radius: jax.Array      # scalar; ball radius in whitened space
+    lo: jax.Array          # [ndim] whitened bounding box (members +- radius)
+    hi: jax.Array          # [ndim]
+
+
+def pairwise_sqdist(a, b, precision=jax.lax.Precision.HIGHEST):
+    """[N, M] squared euclidean distances via the MXU."""
+    cross = jnp.dot(a, b.T, precision=precision, preferred_element_type=jnp.float32)
+    ssa = jnp.sum(jnp.square(a), axis=1)
+    ssb = jnp.sum(jnp.square(b), axis=1)
+    return jnp.maximum(ssa[:, None] - 2.0 * cross + ssb[None, :], 0.0)
+
+
+def bootstrapped_sq_radius(w, mask, key, nbootstraps: int) -> jax.Array:
+    """Squared RadFriends radius: max over bootstrap rounds of the largest
+    nearest-in-bag distance of any out-of-bag member.
+
+    Mirrors ``cneighbors.c:125-179`` / ``neighbors.py:211-238``: each round
+    draws n samples with replacement; points never drawn are out-of-bag and
+    must be covered by a ball around some in-bag point.
+    """
+    M = w.shape[0]
+    n = mask.sum().astype(jnp.int32)
+    d2 = pairwise_sqdist(w, w)  # [M, M]; shared by all bootstrap rounds
+    logits = jnp.where(mask, 0.0, _NEG_BIG)
+    draw_valid = jnp.arange(M) < n  # exactly n draws per round
+
+    def one_round(k):
+        choice = jax.random.categorical(k, logits, shape=(M,))  # uniform over valid
+        hits = jnp.zeros((M,), jnp.int32).at[choice].add(draw_valid.astype(jnp.int32))
+        inbag = hits > 0
+        oob = mask & ~inbag
+        nearest = jnp.min(jnp.where(inbag[None, :], d2, _POS_BIG), axis=1)  # [M]
+        return jnp.max(jnp.where(oob, nearest, 0.0))
+
+    keys = jax.random.split(key, nbootstraps)
+    r2 = jax.vmap(one_round)(keys)
+    return jnp.max(r2)
+
+
+def build_region(
+    members_u,
+    member_mask,
+    key,
+    nbootstraps: int = 10,
+    metriclearner: str = "truncatedscaling",
+    prev_scale=None,
+    prev_radius=None,
+) -> Region:
+    """Whiten + bootstrap-radius region build (hiermetriclearn.py:48-92).
+
+    ``force_shrink`` semantics: when the (quantized) metric scale is unchanged
+    from the previous build, the radius may only shrink
+    (hiermetriclearn.py:88-91).
+    """
+    metric = fit_metric(members_u, member_mask, metriclearner)
+    w = metric.transform(members_u)
+    r2 = bootstrapped_sq_radius(w, member_mask, key, nbootstraps)
+    radius = jnp.sqrt(r2)
+    if prev_scale is not None and prev_radius is not None:
+        same_metric = jnp.all(prev_scale == metric.scale)
+        radius = jnp.where(
+            same_metric & (prev_radius > 0.0), jnp.minimum(radius, prev_radius), radius
+        )
+    big = jnp.where(member_mask[:, None], w, jnp.nan)
+    lo = jnp.nanmin(big, axis=0) - radius
+    hi = jnp.nanmax(big, axis=0) + radius
+    return Region(
+        members_w=w,
+        member_mask=member_mask,
+        n_members=member_mask.sum().astype(jnp.int32),
+        metric=metric,
+        radius=radius,
+        lo=lo,
+        hi=hi,
+    )
+
+
+def count_within(region: Region, w_points) -> jax.Array:
+    """Number of member balls containing each point (cneighbors.c:95-119)."""
+    d2 = pairwise_sqdist(w_points, region.members_w)  # [N, M]
+    near = (d2 < jnp.square(region.radius)) & region.member_mask[None, :]
+    return near.sum(axis=1)
+
+
+def sample_region(region: Region, key, nprop: int):
+    """Draw ``nprop`` candidates uniform on (union-of-balls ∩ unit cube).
+
+    Half the batch uses the whitened-bounding-box proposal, half the
+    ball-around-random-member proposal with the 1/n_near multiplicity
+    correction — the same dual scheme as ``radfriendsregion.py:129-182``,
+    but as one fixed-size masked batch. Returns ``(u, ok)`` where ``ok``
+    marks candidates that landed inside the region and the unit cube.
+    """
+    ndim = region.members_w.shape[1]
+    n_box = nprop // 2
+    n_ball = nprop - n_box
+    k_box, k_mem, k_dir, k_rad, k_coin = jax.random.split(key, 5)
+
+    # --- box proposals ---
+    w_box = jax.random.uniform(
+        k_box, (n_box, ndim), minval=region.lo, maxval=region.hi
+    )
+    ok_box = count_within(region, w_box) > 0
+
+    # --- ball proposals ---
+    logits = jnp.where(region.member_mask, 0.0, _NEG_BIG)
+    mem = jax.random.categorical(k_mem, logits, shape=(n_ball,))
+    center = region.members_w[mem]  # [n_ball, ndim]
+    direction = jax.random.normal(k_dir, (n_ball, ndim))
+    direction = direction / jnp.linalg.norm(direction, axis=1, keepdims=True)
+    # radial density ~ volume: r = R * U^(1/ndim) (radfriendsregion.py:157)
+    rr = region.radius * jax.random.uniform(k_rad, (n_ball, 1)) ** (1.0 / ndim)
+    w_ball = center + direction * rr
+    nnear = count_within(region, w_ball)
+    coin = jax.random.uniform(k_coin, (n_ball,))
+    ok_ball = coin * nnear.astype(coin.dtype) < 1.0  # accept w.p. 1/nnear; nnear >= 1
+
+    w_all = jnp.concatenate([w_box, w_ball], axis=0)
+    ok = jnp.concatenate([ok_box, ok_ball], axis=0)
+    u = region.metric.untransform(w_all)
+    in_cube = jnp.all((u > 0.0) & (u < 1.0), axis=1)
+    return u, ok & in_cube

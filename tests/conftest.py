@@ -1,0 +1,12 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
+# without TPU hardware. Must be set before jax is imported anywhere, and must
+# OVERRIDE the ambient JAX_PLATFORMS (the axon TPU tunnel is single-chip and
+# slow to round-trip from unit tests).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

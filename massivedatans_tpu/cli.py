@@ -1,0 +1,123 @@
+"""Command-line interface.
+
+Replaces the reference's script-per-task layout with one entry point:
+
+    python -m massivedatans_tpu gen horns 10000
+    python -m massivedatans_tpu fit data_widths_10000.hdf5 100
+    python -m massivedatans_tpu check <output.out8.hdf5>
+
+``fit`` mirrors ``sample.py``: same positional arguments (data file, ndata),
+same env-var knobs (CONSTRAINER, NLIVE_POINTS, ...), same output files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+
+def cmd_gen(args):
+    from massivedatans_tpu.datagen.generators import (
+        GENERATORS, FILENAME_STEMS, save_dataset,
+    )
+
+    gen = GENERATORS[args.kind]
+    data = gen(args.N, seed=args.seed)
+    path = args.out or FILENAME_STEMS[args.kind].format(N=args.N)
+    save_dataset(data, path)
+    print(f"wrote {path}: x{data['x'].shape} y{data['y'].shape}")
+
+
+def cmd_fit(args):
+    from massivedatans_tpu.config import RunConfig
+    from massivedatans_tpu.io.hdf5io import (
+        load_spectra, output_prefix, write_results,
+    )
+    from massivedatans_tpu.models.gaussline import make_gaussline_problem
+    from massivedatans_tpu.ns.integrator import multi_nested_integrator
+
+    cfg = RunConfig.from_env(
+        **{k: v for k, v in dict(
+            nlive_points=args.nlive,
+            tolerance=args.tolerance,
+            max_samples=args.max_samples,
+            constrainer=args.constrainer,
+        ).items() if v is not None}
+    )
+    x, y = load_spectra(args.data, args.ndata)
+    problem = make_gaussline_problem(x, y, noise_level=args.noise_level)
+    print(f"fitting {problem.ndata} datasets, nlive={cfg.nlive_points}, "
+          f"constrainer={cfg.constrainer}", file=sys.stderr)
+    result = multi_nested_integrator(problem, cfg, progress=not args.quiet)
+    prefix = output_prefix(args.data, cfg.constrainer, cfg.nlive_points,
+                           problem.ndata)
+    write_results(prefix, result)
+    print("logZ = %.1f +- %.1f" % (result.logZ[0], result.logZerr[0]))
+    print("ndraws:", result.ndraws, "niter:", result.u.shape[0])
+    print("wrote", prefix + ".hdf5")
+
+
+def cmd_check(args):
+    """Summarize an output file (reference checkoutput.py:8-42)."""
+    from massivedatans_tpu.io.hdf5io import read_results
+
+    for path in args.files:
+        out = read_results(path)
+        print(path)
+        logZ, logZerr = out["logZ"], out["logZerr"]
+        print("logZ[0] = %.1f +- %.1f" % (logZ[0], logZerr[0]))
+        print("ndraws:", int(out["ndraws"]))
+        w = out["w"] + out["L"]
+        ndata = w.shape[1]
+        for d in range(min(ndata, args.max_datasets)):
+            wd = w[:, d].astype(np.float64)
+            wd[~np.isfinite(wd)] = -np.inf
+            p = np.exp(wd - wd.max())
+            p /= p.sum()
+            i = np.random.choice(np.arange(len(p)), size=1000, p=p)
+            xs = out["x"][i, d, :]
+            stats = "  ".join(
+                f"p{j}={xs[:, j].mean():.3f}+-{xs[:, j].std():.3f}"
+                for j in range(xs.shape[1])
+            )
+            print(f"  dataset {d}: logZ={logZ[d]:.2f}+-{logZerr[d]:.2f}  {stats}")
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    p = argparse.ArgumentParser(prog="massivedatans_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate synthetic spectra")
+    g.add_argument("kind", choices=["horns", "nothing", "simple", "bright",
+                                    "faint", "agn", "realistic"])
+    g.add_argument("N", type=int)
+    g.add_argument("--seed", type=int, default=None)
+    g.add_argument("--out", default=None)
+    g.set_defaults(fn=cmd_gen)
+
+    f = sub.add_parser("fit", help="run joint nested sampling (sample.py)")
+    f.add_argument("data")
+    f.add_argument("ndata", type=int)
+    f.add_argument("--nlive", type=int, default=None)
+    f.add_argument("--tolerance", type=float, default=None)
+    f.add_argument("--max-samples", type=int, default=None)
+    f.add_argument("--constrainer", default=None)
+    f.add_argument("--noise-level", type=float, default=0.01)
+    f.add_argument("--quiet", action="store_true")
+    f.set_defaults(fn=cmd_fit)
+
+    c = sub.add_parser("check", help="summarize output files (checkoutput.py)")
+    c.add_argument("files", nargs="+")
+    c.add_argument("--max-datasets", type=int, default=4)
+    c.set_defaults(fn=cmd_check)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

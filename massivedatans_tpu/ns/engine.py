@@ -87,17 +87,31 @@ def _safe_logaddexp_update(logZ, H, wi, Li):
     return logZnew, Hnew
 
 
-def unique_members(live_idx, col_mask, capacity: int):
-    """Compacted unique pile indices over the selected dataset columns.
+def _global_any(x, axis_name):
+    """any() over the local array, then over the dataset mesh axis."""
+    local = jnp.any(x)
+    if axis_name is None:
+        return local
+    return jax.lax.psum(local.astype(jnp.int32), axis_name) > 0
 
-    Replaces ``get_unique_pointsp`` (multi_nested_sampler.py:130-132). Returns
-    ``(members_idx[M], member_mask[M], overflowed)``; when more than
-    ``capacity`` unique points exist the excess (largest pile indices, i.e.
-    newest points) is dropped and ``overflowed`` is set.
+
+def _global_or_rows(x, axis_name):
+    """Elementwise OR of a per-candidate bool vector across shards.
+
+    Used for the pile-replication vote: a candidate accepted by *any* shard's
+    datasets is appended to every shard's (identical) pile, keeping pile
+    indices globally consistent without gathering point coordinates.
     """
-    flat = jnp.where(col_mask[None, :], live_idx, -1).reshape(-1)
-    flat = jnp.sort(flat)
-    first = jnp.concatenate([flat[:1] >= 0, (flat[1:] != flat[:-1]) & (flat[1:] >= 0)])
+    if axis_name is None:
+        return x
+    return jax.lax.psum(x.astype(jnp.int32), axis_name) > 0
+
+
+def _dedup_sorted(flat, capacity: int):
+    """Compact the unique non-negative entries of a sorted int vector."""
+    first = jnp.concatenate(
+        [flat[:1] >= 0, (flat[1:] != flat[:-1]) & (flat[1:] >= 0)]
+    )
     pos = jnp.cumsum(first) - 1
     n_unique = first.sum().astype(jnp.int32)
     write_pos = jnp.where(first & (pos < capacity), pos, capacity)
@@ -109,10 +123,38 @@ def unique_members(live_idx, col_mask, capacity: int):
     return members_idx, member_mask, (n_unique > capacity).astype(jnp.int32)
 
 
+def unique_members(live_idx, col_mask, capacity: int, axis_name=None):
+    """Compacted unique pile indices over the selected dataset columns.
+
+    Replaces ``get_unique_pointsp`` (multi_nested_sampler.py:130-132). Returns
+    ``(members_idx[M], member_mask[M], overflowed)``; when more than
+    ``capacity`` unique points exist the excess (largest pile indices, i.e.
+    newest points) is dropped and ``overflowed`` is set.
+
+    Under a dataset mesh (``axis_name``), the per-shard unique sets are
+    all-gathered (pile indices are globally consistent because the pile is
+    replicated) and re-deduplicated, so every shard builds the same region
+    from the union of live points — the multi-host region construction of
+    survey §5.
+    """
+    flat = jnp.where(col_mask[None, :], live_idx, -1).reshape(-1)
+    members_idx, member_mask, overflow = _dedup_sorted(jnp.sort(flat), capacity)
+    if axis_name is None:
+        return members_idx, member_mask, overflow
+    gathered = jax.lax.all_gather(
+        jnp.where(member_mask, members_idx, -1), axis_name
+    ).reshape(-1)
+    g_idx, g_mask, g_overflow = _dedup_sorted(jnp.sort(gathered), capacity)
+    overflow = jnp.maximum(
+        jax.lax.pmax(overflow, axis_name), g_overflow
+    )
+    return g_idx, g_mask, overflow
+
+
 def _build_region_from(state: EngineState, col_mask, key, cfg: RunConfig,
-                       member_capacity: int):
+                       member_capacity: int, axis_name=None):
     members_idx, member_mask, overflow = unique_members(
-        state.live_idx, col_mask, member_capacity
+        state.live_idx, col_mask, member_capacity, axis_name
     )
     members_u = state.pile_u[members_idx]
     region = build_region(
@@ -168,24 +210,31 @@ def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
 
 
 def _fill_shelves(problem: Problem, state: EngineState, region: Region,
-                  cfg: RunConfig, member_capacity: int):
+                  cfg: RunConfig, member_capacity: int, axis_name=None):
     """Propose/evaluate/scatter until every running dataset has a queued
     candidate (reference __next__ fill loop, multi_nested_sampler.py:365-489).
+
+    Under a dataset mesh, proposal batches are *replicated* (identical RNG on
+    every shard) — that is the shared-evaluation trick across chips: each
+    shard scores the same candidates against its own dataset shard. The only
+    collectives are the fill-loop vote and the pile-replication vote.
     """
     B = cfg.eval_batch
     nprop = cfg.proposal_batch
     S = cfg.shelf_capacity
     focus_every = 16
 
+    def need_more(shelves):
+        return _global_any(state.running & (shelves.count == 0), axis_name)
+
     def cond(carry):
         (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd, region,
-         overflow) = carry
-        empty = state.running & (shelves.count == 0)
-        return (rnd < cfg.max_fill_rounds) & jnp.any(empty)
+         overflow, more) = carry
+        return (rnd < cfg.max_fill_rounds) & more
 
     def body(carry):
         (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd, region,
-         overflow) = carry
+         overflow, more) = carry
         key, k_focus, k_prop = jax.random.split(key, 3)
 
         # Focused draws: after nsuperset_draws rounds, rebuild the region from
@@ -194,7 +243,9 @@ def _fill_shelves(problem: Problem, state: EngineState, region: Region,
         def refocus(_):
             empty = state.running & (shelves.count == 0)
             st = state._replace(pile_u=pile_u)
-            reg, ovf = _build_region_from(st, empty, k_focus, cfg, member_capacity)
+            reg, ovf = _build_region_from(
+                st, empty, k_focus, cfg, member_capacity, axis_name
+            )
             return reg, overflow + ovf
 
         do_refocus = (
@@ -224,8 +275,9 @@ def _fill_shelves(problem: Problem, state: EngineState, region: Region,
             & (L > thresh[None, :])
         )
 
-        # pile append for candidates accepted anywhere
-        newpt = jnp.any(acc, axis=1)
+        # pile append for candidates accepted anywhere (on any shard, so the
+        # pile stays bit-identical across the mesh)
+        newpt = _global_or_rows(jnp.any(acc, axis=1), axis_name)
         newpt_i = newpt.astype(jnp.int32)
         slots = pile_size + jnp.cumsum(newpt_i) - newpt_i
         P = pile_u.shape[0]
@@ -240,13 +292,13 @@ def _fill_shelves(problem: Problem, state: EngineState, region: Region,
         ndraws = ndraws + valid.sum().astype(jnp.int32)
         pile_size = pile_size + can_store.sum().astype(jnp.int32)
         return (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd + 1,
-                region2, overflow)
+                region2, overflow, need_more(shelves))
 
     carry = (state.key, state.pile_u, state.pile_x, state.pile_size,
              state.shelves, state.ndraws, jnp.int32(0), region,
-             jnp.int32(0))
+             jnp.int32(0), need_more(state.shelves))
     (key, pile_u, pile_x, pile_size, shelves, ndraws, rounds, _region,
-     overflow) = jax.lax.while_loop(cond, body, carry)
+     overflow, _more) = jax.lax.while_loop(cond, body, carry)
     return state._replace(
         key=key, pile_u=pile_u, pile_x=pile_x, pile_size=pile_size,
         shelves=shelves, ndraws=ndraws,
@@ -255,10 +307,10 @@ def _fill_shelves(problem: Problem, state: EngineState, region: Region,
 
 
 def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
-                 member_capacity: int):
+                 member_capacity: int, axis_name=None):
     """One joint NS iteration: clean shelves, fill, advance every dataset,
     update the streaming evidence (reference __next__ + integrator body)."""
-    D = problem.ndata
+    D = state.live_L.shape[1]  # local shard width under a mesh
     K = cfg.nlive_points
 
     Lmins = state.live_L.min(axis=0)
@@ -268,7 +320,7 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
     key, k_region = jax.random.split(state.key)
     state = state._replace(key=key)
     region, overflow = _build_region_from(
-        state, state.running, k_region, cfg, member_capacity
+        state, state.running, k_region, cfg, member_capacity, axis_name
     )
     state = state._replace(
         prev_scale=region.metric.scale,
@@ -276,7 +328,7 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
         member_overflow=state.member_overflow + overflow,
     )
 
-    state = _fill_shelves(problem, state, region, cfg, member_capacity)
+    state = _fill_shelves(problem, state, region, cfg, member_capacity, axis_name)
 
     # --- advance: replace each dataset's worst live point (.:494-534) ---
     filled = state.shelves.count > 0
@@ -325,13 +377,25 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
     return state, dead
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "member_capacity", "n_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "member_capacity", "n_iters", "axis_name")
+)
 def run_chunk(problem: Problem, state: EngineState, cfg: RunConfig,
-              member_capacity: int, n_iters: int):
+              member_capacity: int, n_iters: int, axis_name=None):
     """Run ``n_iters`` NS iterations in one device dispatch."""
 
     def step(st, _):
-        return ns_iteration(problem, st, cfg, member_capacity)
+        return ns_iteration(problem, st, cfg, member_capacity, axis_name)
+
+    return jax.lax.scan(step, state, None, length=n_iters)
+
+
+def run_chunk_inner(problem: Problem, state: EngineState, cfg: RunConfig,
+                    member_capacity: int, n_iters: int, axis_name=None):
+    """Un-jitted chunk body, for wrapping in shard_map (parallel/sharded.py)."""
+
+    def step(st, _):
+        return ns_iteration(problem, st, cfg, member_capacity, axis_name)
 
     return jax.lax.scan(step, state, None, length=n_iters)
 

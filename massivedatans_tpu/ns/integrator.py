@@ -97,6 +97,7 @@ def multi_nested_integrator(
     max_samples: Optional[int] = None,
     min_samples: Optional[int] = None,
     progress: bool = True,
+    mesh=None,
 ) -> NSResult:
     cfg = cfg or RunConfig()
     tolerance = cfg.tolerance if tolerance is None else tolerance
@@ -112,6 +113,19 @@ def multi_nested_integrator(
     t0 = time.time()
 
     state = engine_lib.init_state(problem, key, cfg)
+    if mesh is not None:
+        from massivedatans_tpu.parallel import sharded as sharded_lib
+
+        problem = sharded_lib.shard_problem(problem, mesh)
+        state = sharded_lib.shard_state(state, mesh)
+        run = sharded_lib.make_sharded_run_chunk(
+            problem, mesh, cfg, member_capacity, cfg.chunk_iters
+        )
+    else:
+        def run(pr, st):
+            return engine_lib.run_chunk(
+                pr, st, cfg, member_capacity, cfg.chunk_iters
+            )
     pile_cap = state.pile_u.shape[0]
 
     dead_u, dead_x, dead_L, dead_w, dead_mask = [], [], [], [], []
@@ -126,9 +140,7 @@ def multi_nested_integrator(
     reporter = ProgressReporter(enabled=progress, ndata=D)
 
     while True:
-        state, dead = engine_lib.run_chunk(
-            problem, state, cfg, member_capacity, cfg.chunk_iters
-        )
+        state, dead = run(problem, state)
         d_L = np.asarray(dead.L)
         d_run = np.asarray(dead.running)
         d_w = np.asarray(dead.logwidth)

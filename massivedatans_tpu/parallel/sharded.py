@@ -1,0 +1,124 @@
+"""Dataset-parallel execution over a device mesh.
+
+The reference's only parallelism is OpenMP threads inside C kernels fanned
+over datasets (survey §2 accounting). The TPU-native equivalent shards the
+dataset axis D over a 1-D ``jax.sharding.Mesh``:
+
+- per-dataset state (live points, shelves, logZ/H, running masks) and the
+  spectra ``y[:, D]`` are sharded on D;
+- the point pile and all proposal batches are *replicated* — identical RNG
+  on every shard means one shared model evaluation per candidate across the
+  whole machine, which is exactly the collaborative-sampling trick at pod
+  scale;
+- the only communication is (i) a psum vote for the fill loop, (ii) a psum
+  vote to keep the pile bit-identical, and (iii) an all_gather of unique
+  live-point *indices* for region construction — a few KB per iteration,
+  riding ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from massivedatans_tpu.config import RunConfig
+from massivedatans_tpu.models.base import Problem
+from massivedatans_tpu.ns import engine as engine_lib
+from massivedatans_tpu.ns.engine import DeadChunk, EngineState
+from massivedatans_tpu.ns.region import Metric, Region
+from massivedatans_tpu.ns.shelves import Shelves
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def state_pspecs() -> EngineState:
+    """PartitionSpec pytree for EngineState: shard on the dataset axis where
+    a dataset dimension exists, replicate everything else."""
+    d = P(DATA_AXIS)
+    kd = P(None, DATA_AXIS)
+    r = P()
+    return EngineState(
+        key=r,
+        pile_u=r, pile_x=r, pile_size=r,
+        live_idx=kd, live_L=kd,
+        shelves=Shelves(idx=kd, L=kd, count=d),
+        running=d, Lmax=d,
+        logZ=d, H=d,
+        logVolremaining=r, logwidth=r, last_logwidth=d,
+        iteration=r, ndraws=r,
+        prev_scale=r, prev_radius=r,
+        stall_count=d, member_overflow=r,
+    )
+
+
+def dead_pspecs() -> DeadChunk:
+    return DeadChunk(
+        u=P(None, DATA_AXIS, None),
+        x=P(None, DATA_AXIS, None),
+        L=P(None, DATA_AXIS),
+        logwidth=P(),
+        running=P(None, DATA_AXIS),
+    )
+
+
+def problem_pspecs(problem: Problem):
+    """PartitionSpec pytree for a Problem: any array with a trailing
+    dataset-sized axis is sharded on it; everything else replicated."""
+    D = problem.ndata
+
+    def spec_for(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 1 and shape[-1] == D and D > 1:
+            return P(*([None] * (len(shape) - 1) + [DATA_AXIS]))
+        if len(shape) >= 1 and shape[0] == D and D > 1:
+            return P(*([DATA_AXIS] + [None] * (len(shape) - 1)))
+        return P()
+
+    return jax.tree.map(spec_for, problem)
+
+
+def shard_problem(problem: Problem, mesh: Mesh) -> Problem:
+    specs = problem_pspecs(problem)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), problem, specs
+    )
+
+
+def shard_state(state: EngineState, mesh: Mesh) -> EngineState:
+    specs = state_pspecs()
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
+    )
+
+
+def make_sharded_run_chunk(problem: Problem, mesh: Mesh, cfg: RunConfig,
+                           member_capacity: int, n_iters: int):
+    """Build a jitted dataset-sharded chunk runner with the same signature
+    behavior as engine.run_chunk(problem, state)."""
+    p_specs = problem_pspecs(problem)
+    s_specs = state_pspecs()
+
+    inner = functools.partial(
+        engine_lib.run_chunk_inner,
+        cfg=cfg,
+        member_capacity=member_capacity,
+        n_iters=n_iters,
+        axis_name=DATA_AXIS,
+    )
+
+    mapped = jax.shard_map(
+        lambda pr, st: inner(pr, st),
+        mesh=mesh,
+        in_specs=(p_specs, s_specs),
+        out_specs=(s_specs, dead_pspecs()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -1,12 +1,16 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
-# without TPU hardware. Must be set before jax is imported anywhere, and must
-# OVERRIDE the ambient JAX_PLATFORMS (the axon TPU tunnel is single-chip and
-# slow to round-trip from unit tests).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# without TPU hardware. XLA_FLAGS must be set before backend init; the
+# platform override must go through jax.config because the environment's
+# axon sitecustomize registers the TPU backend at interpreter start.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

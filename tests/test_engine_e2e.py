@@ -1,0 +1,125 @@
+"""End-to-end engine validation.
+
+The acceptance standard is the reference's own (survey §4): evidences must
+match analytic truth within Monte-Carlo error, and posteriors must recover
+injected parameters. The analytic-Gaussian problem provides an exact logZ
+oracle per dataset.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from massivedatans_tpu.config import RunConfig
+from massivedatans_tpu.models.analytic import (
+    make_analytic_gaussian_problem,
+    true_logZ,
+)
+from massivedatans_tpu.models.gaussline import make_gaussline_problem
+from massivedatans_tpu.ns.integrator import multi_nested_integrator
+from massivedatans_tpu.datagen.generators import gen_horns, gen_nothing
+
+SMALL = RunConfig(
+    nlive_points=100,
+    proposal_batch=256,
+    eval_batch=64,
+    shelf_capacity=4,
+    chunk_iters=25,
+    tolerance=0.5,
+    max_fill_rounds=512,
+)
+
+
+@pytest.fixture(scope="module")
+def analytic_result():
+    rng = np.random.default_rng(42)
+    D, ndim = 8, 2
+    centers = rng.uniform(0.25, 0.75, size=(D, ndim))
+    problem = make_analytic_gaussian_problem(centers, sigma=0.05)
+    result = multi_nested_integrator(
+        problem, SMALL, key=jax.random.key(3), progress=False
+    )
+    return centers, result
+
+
+def test_analytic_logZ_within_mc_error(analytic_result):
+    centers, result = analytic_result
+    lz_true = true_logZ(centers, sigma=0.05)
+    err = result.logZerr + np.sqrt(np.maximum(result.information, 0.0) / 100)
+    resid = np.abs(result.logZ - lz_true)
+    # every dataset within generous MC bounds; population mean tighter
+    assert (resid < 3.0 * err + 0.6).all(), (resid, err)
+    assert resid.mean() < 0.45, (result.logZ, lz_true)
+
+
+def test_analytic_posterior_recovers_centers(analytic_result):
+    centers, result = analytic_result
+    D = centers.shape[0]
+    w = result.w + result.L  # log posterior weight per record
+    for d in range(D):
+        wd = w[:, d].astype(np.float64)
+        wd[~np.isfinite(wd)] = -np.inf
+        p = np.exp(wd - wd.max())
+        p /= p.sum()
+        mean = (p[:, None] * result.x[:, d, :]).sum(axis=0)
+        # posterior mean ~ center to within a few sigma/sqrt(neff)
+        assert np.abs(mean - centers[d]).max() < 0.02, (d, mean, centers[d])
+
+
+def test_result_schema(analytic_result):
+    _, result = analytic_result
+    niter_total = result.u.shape[0]
+    assert result.u.shape == (niter_total, 8, 2)
+    assert result.L.shape == (niter_total, 8)
+    assert result.mask.shape == (niter_total, 8)
+    # tail rows are the live points: last nlive rows all-active
+    assert result.mask[-SMALL.nlive_points:].all()
+    assert np.isfinite(result.logZ).all()
+    assert (result.logZerr > 0).all()
+    assert result.ndraws > 0
+
+
+@pytest.mark.slow
+def test_nothing_suite_bayes_factors():
+    """No-signal evidence calibration (plotevidences.py:17-36): logZ of the
+    line model on pure noise stays within a few nats of the analytic
+    no-signal evidence logZ0 = sum(-0.5 (y/sigma)^2)."""
+    data = gen_nothing(16)
+    problem = make_gaussline_problem(data["x"], data["y"], data["noise_level"])
+    logZ0 = np.sum(-0.5 * (data["y"] / 0.01) ** 2, axis=0)
+    result = multi_nested_integrator(
+        problem, SMALL, key=jax.random.key(5), progress=False
+    )
+    B = result.logZ - logZ0
+    assert np.isfinite(B).all()
+    assert (B > -6.0).all() and (B < 6.0).all(), B
+    assert abs(np.median(B)) < 2.5, B
+
+
+@pytest.mark.slow
+def test_horns_posterior_recovers_line_position():
+    """Truth recovery on the canonical workload (plotposterior.py oracle):
+    the posterior for mu must lie on the injected line for high-SNR spectra."""
+    data = gen_horns(12)
+    problem = make_gaussline_problem(data["x"], data["y"], data["noise_level"])
+    result = multi_nested_integrator(
+        problem, SMALL, key=jax.random.key(7), progress=False
+    )
+    snr = data["height_narrow"] / data["noise_level"]
+    w = result.w + result.L
+    errs = []
+    for d in range(problem.ndata):
+        if snr[d] < 10:
+            continue
+        wd = w[:, d].astype(np.float64)
+        wd[~np.isfinite(wd)] = -np.inf
+        p = np.exp(wd - wd.max())
+        p /= p.sum()
+        mu_mean = (p * result.x[:, d, 1]).sum()
+        mu_sd = np.sqrt((p * (result.x[:, d, 1] - mu_mean) ** 2).sum())
+        pull = (mu_mean - data["mean_narrow"][d]) / max(mu_sd, 0.05)
+        errs.append(pull)
+    errs = np.array(errs)
+    assert len(errs) >= 3
+    assert np.abs(errs).max() < 6.0, errs
+    assert np.abs(errs).mean() < 2.5, errs

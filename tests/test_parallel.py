@@ -1,0 +1,78 @@
+"""Dataset-sharded execution tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from massivedatans_tpu.config import RunConfig
+from massivedatans_tpu.models.analytic import (
+    make_analytic_gaussian_problem,
+    true_logZ,
+)
+from massivedatans_tpu.ns import engine as engine_lib
+from massivedatans_tpu.ns.integrator import multi_nested_integrator
+from massivedatans_tpu.parallel import make_mesh, make_sharded_run_chunk
+from massivedatans_tpu.parallel.sharded import shard_problem, shard_state
+
+CFG = RunConfig(
+    nlive_points=50,
+    proposal_batch=128,
+    eval_batch=32,
+    shelf_capacity=4,
+    chunk_iters=10,
+    max_fill_rounds=256,
+)
+
+
+def _problem(D=16, ndim=2, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(0.3, 0.7, size=(D, ndim))
+    return centers, make_analytic_gaussian_problem(centers, sigma=0.08)
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_chunk_matches_single_device():
+    """The sharded engine must walk the same trajectory as single-device:
+    the pile is replicated and proposals identical, so after one chunk the
+    live-point sets and evidence accumulators agree (up to f32 reduction
+    noise in the likelihood)."""
+    centers, problem = _problem(D=16)
+    member_capacity = CFG.resolve_member_capacity(problem.ndata)
+    key = jax.random.key(0)
+
+    state0 = engine_lib.init_state(problem, key, CFG)
+    s_single, dead_single = engine_lib.run_chunk(
+        problem, state0, CFG, member_capacity, 10
+    )
+
+    mesh = make_mesh()
+    p_sh = shard_problem(problem, mesh)
+    st_sh = shard_state(engine_lib.init_state(problem, key, CFG), mesh)
+    runner = make_sharded_run_chunk(p_sh, mesh, CFG, member_capacity, 10)
+    s_shard, dead_shard = runner(p_sh, st_sh)
+
+    np.testing.assert_allclose(
+        np.asarray(dead_single.L), np.asarray(dead_shard.L), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_single.logZ), np.asarray(s_shard.logZ), rtol=1e-4, atol=1e-4
+    )
+    assert int(s_single.pile_size) == int(s_shard.pile_size)
+    np.testing.assert_array_equal(
+        np.asarray(s_single.live_idx), np.asarray(s_shard.live_idx)
+    )
+
+
+@pytest.mark.slow
+def test_sharded_full_run_logZ():
+    centers, problem = _problem(D=16, seed=3)
+    mesh = make_mesh()
+    result = multi_nested_integrator(
+        problem, CFG, key=jax.random.key(1), progress=False, mesh=mesh
+    )
+    lz_true = true_logZ(centers, sigma=0.08)
+    err = result.logZerr + np.sqrt(np.maximum(result.information, 0.0) / 50)
+    assert (np.abs(result.logZ - lz_true) < 3 * err + 0.8).all()

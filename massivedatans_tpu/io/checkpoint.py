@@ -1,0 +1,99 @@
+"""Checkpoint / resume of the batched sampler state.
+
+The reference has no checkpointing — a crash loses the whole run because
+results are only written after integration completes (survey §5;
+sample.py:200-217). Here the full engine state pytree plus the host-side
+integrator context is persisted at chunk boundaries, so a 140-hour-class run
+(the reference's MUSE workload) survives preemption.
+
+Layout: ``<dir>/state.npz`` (engine pytree leaves), ``<dir>/host.npz``
+(tails, termination context), ``<dir>/chunk_NNNN.npz`` (dead-point stream),
+``<dir>/meta.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from massivedatans_tpu.ns.engine import EngineState
+from massivedatans_tpu.ns.shelves import Shelves
+
+_STATE = "state.npz"
+_HOST = "host.npz"
+_META = "meta.json"
+
+
+def _flatten_state(state: EngineState) -> dict:
+    flat = {}
+    leaves, treedef = jax.tree.flatten(state)
+    for i, leaf in enumerate(leaves):
+        if jnp.issubdtype(getattr(leaf, "dtype", None), jax.dtypes.prng_key):
+            flat[f"leaf_{i:03d}__key"] = np.asarray(jax.random.key_data(leaf))
+        else:
+            flat[f"leaf_{i:03d}"] = np.asarray(jax.device_get(leaf))
+    return flat
+
+
+def save_state(path: str, state: EngineState, host_ctx: dict, meta: dict):
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "state.tmp.npz")  # np.savez requires .npz suffix
+    np.savez(tmp, **_flatten_state(state))
+    os.replace(tmp, os.path.join(path, _STATE))
+    tmp = os.path.join(path, "host.tmp.npz")
+    np.savez(tmp, **host_ctx)
+    os.replace(tmp, os.path.join(path, _HOST))
+    with open(os.path.join(path, _META + ".tmp"), "w") as fh:
+        json.dump(meta, fh)
+    os.replace(os.path.join(path, _META + ".tmp"), os.path.join(path, _META))
+
+
+def save_chunk(path: str, chunk_index: int, arrays: dict):
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, f"chunk_{chunk_index:05d}.npz"), **arrays)
+
+
+def load_state(path: str, template: EngineState):
+    """Rebuild an EngineState from disk using a freshly-initialized template
+    for the pytree structure."""
+    data = np.load(os.path.join(path, _STATE))
+    leaves, treedef = jax.tree.flatten(template)
+    new_leaves = []
+    for i, leaf in enumerate(leaves):
+        if f"leaf_{i:03d}__key" in data:
+            new_leaves.append(jax.random.wrap_key_data(
+                jnp.asarray(data[f"leaf_{i:03d}__key"])))
+        else:
+            arr = data[f"leaf_{i:03d}"]
+            new_leaves.append(jnp.asarray(arr, dtype=leaf.dtype))
+    return jax.tree.unflatten(treedef, new_leaves)
+
+
+def load_host(path: str) -> dict:
+    return dict(np.load(os.path.join(path, _HOST), allow_pickle=False))
+
+
+def load_meta(path: str) -> dict:
+    with open(os.path.join(path, _META)) as fh:
+        return json.load(fh)
+
+
+def load_chunks(path: str):
+    names = sorted(
+        n for n in os.listdir(path)
+        if n.startswith("chunk_") and n.endswith(".npz")
+    )
+    return [dict(np.load(os.path.join(path, n))) for n in names]
+
+
+def has_checkpoint(path: str) -> bool:
+    return (
+        path is not None
+        and os.path.isdir(path)
+        and os.path.exists(os.path.join(path, _STATE))
+        and os.path.exists(os.path.join(path, _META))
+    )

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from massivedatans_tpu.config import RunConfig
 from massivedatans_tpu.models.base import Problem
 from massivedatans_tpu.ns import shelves as shelves_lib
-from massivedatans_tpu.ns.region import Region, build_region, sample_region, identity_metric
+from massivedatans_tpu.ns.region import Region
 from massivedatans_tpu.ns.shelves import Shelves
 
 _NEG_INF = -jnp.inf
@@ -151,22 +151,16 @@ def unique_members(live_idx, col_mask, capacity: int, axis_name=None):
     return g_idx, g_mask, overflow
 
 
-def _build_region_from(state: EngineState, col_mask, key, cfg: RunConfig,
-                       member_capacity: int, axis_name=None):
+def _build_geometry_from(strategy, state: EngineState, col_mask, key,
+                         cfg: RunConfig, member_capacity: int, axis_name=None):
     members_idx, member_mask, overflow = unique_members(
         state.live_idx, col_mask, member_capacity, axis_name
     )
     members_u = state.pile_u[members_idx]
-    region = build_region(
-        members_u,
-        member_mask,
-        key,
-        nbootstraps=cfg.nbootstraps,
-        metriclearner=cfg.metriclearner,
-        prev_scale=state.prev_scale if cfg.force_shrink else None,
-        prev_radius=state.prev_radius if cfg.force_shrink else None,
+    geom = strategy.build(
+        members_u, member_mask, key, state.prev_scale, state.prev_radius
     )
-    return region, overflow
+    return geom, overflow
 
 
 def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
@@ -209,8 +203,9 @@ def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
     )
 
 
-def _fill_shelves(problem: Problem, state: EngineState, region: Region,
-                  cfg: RunConfig, member_capacity: int, axis_name=None):
+def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
+                  sstate, cfg: RunConfig, member_capacity: int,
+                  axis_name=None):
     """Propose/evaluate/scatter until every running dataset has a queued
     candidate (reference __next__ fill loop, multi_nested_sampler.py:365-489).
 
@@ -219,8 +214,6 @@ def _fill_shelves(problem: Problem, state: EngineState, region: Region,
     shard scores the same candidates against its own dataset shard. The only
     collectives are the fill-loop vote and the pile-replication vote.
     """
-    B = cfg.eval_batch
-    nprop = cfg.proposal_batch
     S = cfg.shelf_capacity
     focus_every = 16
 
@@ -228,52 +221,49 @@ def _fill_shelves(problem: Problem, state: EngineState, region: Region,
         return _global_any(state.running & (shelves.count == 0), axis_name)
 
     def cond(carry):
-        (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd, region,
-         overflow, more) = carry
+        (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd, geom,
+         sstate, overflow, more) = carry
         return (rnd < cfg.max_fill_rounds) & more
 
     def body(carry):
-        (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd, region,
-         overflow, more) = carry
-        key, k_focus, k_prop = jax.random.split(key, 3)
+        (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd, geom,
+         sstate, overflow, more) = carry
+        key, k_focus, k_prop, k_refresh = jax.random.split(key, 4)
 
-        # Focused draws: after nsuperset_draws rounds, rebuild the region from
-        # only the empty-shelf datasets' live points (the reference's
+        # Focused draws: after nsuperset_draws rounds, rebuild the geometry
+        # from only the empty-shelf datasets' live points (the reference's
         # data_mask = empty_mask policy, multi_nested_sampler.py:375-381).
         def refocus(_):
             empty = state.running & (shelves.count == 0)
             st = state._replace(pile_u=pile_u)
-            reg, ovf = _build_region_from(
-                st, empty, k_focus, cfg, member_capacity, axis_name
+            g, ovf = _build_geometry_from(
+                strategy, st, empty, k_focus, cfg, member_capacity, axis_name
             )
-            return reg, overflow + ovf
+            return g, overflow + ovf
 
         do_refocus = (
             cfg.use_focus
             & (rnd >= cfg.nsuperset_draws)
             & ((rnd - cfg.nsuperset_draws) % focus_every == 0)
         )
-        region2, overflow = jax.lax.cond(
-            do_refocus, refocus, lambda _: (region, overflow), None
+        geom2, overflow = jax.lax.cond(
+            do_refocus, refocus, lambda _: (geom, overflow), None
         )
 
-        u_prop, ok = sample_region(region2, k_prop, nprop)
-        # compact accepted proposals to the fixed evaluation batch
-        order = jnp.argsort(~ok)  # stable: in-region proposals first
-        take = order[:B]
-        cand_u = u_prop[take]
-        valid = ok[take]
+        cand_u, valid, sstate = strategy.propose(geom2, sstate, k_prop)
         cand_x = problem.transform_batch(cand_u)
         L = problem.loglike(cand_x)  # [B, D] — the MXU matmul
 
         thresh = shelves_lib.insertion_thresholds(state.live_L, shelves)  # [D]
         space = shelves.count < S
-        acc = (
-            valid[:, None]
-            & state.running[None, :]
-            & space[None, :]
-            & (L > thresh[None, :])
-        )
+        above = state.running[None, :] & (L > thresh[None, :])
+        acc = valid[:, None] & space[None, :] & above
+
+        # strategy feedback: e.g. slice chains advance when the candidate
+        # beats any running dataset's constraint (whitenedmcmc.py:305)
+        chain_accept = _global_or_rows(jnp.any(above, axis=1), axis_name)
+        sstate = strategy.observe(sstate, cand_u, chain_accept)
+        sstate = strategy.refresh(geom2, sstate, k_refresh, chain_accept)
 
         # pile append for candidates accepted anywhere (on any shard, so the
         # pile stays bit-identical across the mesh)
@@ -292,13 +282,13 @@ def _fill_shelves(problem: Problem, state: EngineState, region: Region,
         ndraws = ndraws + valid.sum().astype(jnp.int32)
         pile_size = pile_size + can_store.sum().astype(jnp.int32)
         return (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd + 1,
-                region2, overflow, need_more(shelves))
+                geom2, sstate, overflow, need_more(shelves))
 
     carry = (state.key, state.pile_u, state.pile_x, state.pile_size,
-             state.shelves, state.ndraws, jnp.int32(0), region,
+             state.shelves, state.ndraws, jnp.int32(0), geom, sstate,
              jnp.int32(0), need_more(state.shelves))
-    (key, pile_u, pile_x, pile_size, shelves, ndraws, rounds, _region,
-     overflow, _more) = jax.lax.while_loop(cond, body, carry)
+    (key, pile_u, pile_x, pile_size, shelves, ndraws, rounds, _geom,
+     _sstate, overflow, _more) = jax.lax.while_loop(cond, body, carry)
     return state._replace(
         key=key, pile_u=pile_u, pile_x=pile_x, pile_size=pile_size,
         shelves=shelves, ndraws=ndraws,
@@ -307,9 +297,13 @@ def _fill_shelves(problem: Problem, state: EngineState, region: Region,
 
 
 def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
-                 member_capacity: int, axis_name=None):
+                 member_capacity: int, axis_name=None, strategy=None):
     """One joint NS iteration: clean shelves, fill, advance every dataset,
     update the streaming evidence (reference __next__ + integrator body)."""
+    if strategy is None:
+        from massivedatans_tpu.ns.strategies import make_strategy
+
+        strategy = make_strategy(cfg)
     D = state.live_L.shape[1]  # local shard width under a mesh
     K = cfg.nlive_points
 
@@ -317,18 +311,20 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
     shelves = shelves_lib.clean(state.shelves, Lmins)
     state = state._replace(shelves=shelves)
 
-    key, k_region = jax.random.split(state.key)
+    key, k_geom, k_chains = jax.random.split(state.key, 3)
     state = state._replace(key=key)
-    region, overflow = _build_region_from(
-        state, state.running, k_region, cfg, member_capacity, axis_name
+    geom, overflow = _build_geometry_from(
+        strategy, state, state.running, k_geom, cfg, member_capacity, axis_name
     )
-    state = state._replace(
-        prev_scale=region.metric.scale,
-        prev_radius=region.radius,
-        member_overflow=state.member_overflow + overflow,
-    )
+    if isinstance(geom, Region):  # force_shrink memory (MLFriends only)
+        state = state._replace(
+            prev_scale=geom.metric.scale, prev_radius=geom.radius
+        )
+    state = state._replace(member_overflow=state.member_overflow + overflow)
+    sstate = strategy.init_chains(geom, k_chains)
 
-    state = _fill_shelves(problem, state, region, cfg, member_capacity, axis_name)
+    state = _fill_shelves(problem, state, strategy, geom, sstate, cfg,
+                          member_capacity, axis_name)
 
     # --- advance: replace each dataset's worst live point (.:494-534) ---
     filled = state.shelves.count > 0
@@ -383,19 +379,20 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
 def run_chunk(problem: Problem, state: EngineState, cfg: RunConfig,
               member_capacity: int, n_iters: int, axis_name=None):
     """Run ``n_iters`` NS iterations in one device dispatch."""
-
-    def step(st, _):
-        return ns_iteration(problem, st, cfg, member_capacity, axis_name)
-
-    return jax.lax.scan(step, state, None, length=n_iters)
+    return run_chunk_inner(problem, state, cfg, member_capacity, n_iters,
+                           axis_name)
 
 
 def run_chunk_inner(problem: Problem, state: EngineState, cfg: RunConfig,
                     member_capacity: int, n_iters: int, axis_name=None):
     """Un-jitted chunk body, for wrapping in shard_map (parallel/sharded.py)."""
+    from massivedatans_tpu.ns.strategies import make_strategy
+
+    strategy = make_strategy(cfg)
 
     def step(st, _):
-        return ns_iteration(problem, st, cfg, member_capacity, axis_name)
+        return ns_iteration(problem, st, cfg, member_capacity, axis_name,
+                            strategy)
 
     return jax.lax.scan(step, state, None, length=n_iters)
 

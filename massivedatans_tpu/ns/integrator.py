@@ -98,6 +98,8 @@ def multi_nested_integrator(
     min_samples: Optional[int] = None,
     progress: bool = True,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 10,
 ) -> NSResult:
     cfg = cfg or RunConfig()
     tolerance = cfg.tolerance if tolerance is None else tolerance
@@ -138,8 +140,35 @@ def multi_nested_integrator(
     logZerr_running = np.zeros(D, np.float64)
     running = np.ones(D, bool)
     reporter = ProgressReporter(enabled=progress, ndata=D)
+    chunk_index = 0
+
+    if checkpoint_dir is not None:
+        from massivedatans_tpu.io import checkpoint as ckpt
+
+        if ckpt.has_checkpoint(checkpoint_dir):
+            log.info("resuming from checkpoint %s", checkpoint_dir)
+            state = ckpt.load_state(checkpoint_dir, state)
+            if mesh is not None:
+                from massivedatans_tpu.parallel import sharded as sharded_lib
+
+                state = sharded_lib.shard_state(state, mesh)
+            host = ckpt.load_host(checkpoint_dir)
+            tails_u, tails_x = host["tails_u"], host["tails_x"]
+            tails_L, tails_w = host["tails_L"], host["tails_w"]
+            last_remainderZ = host["last_remainderZ"]
+            last_remainderZerr = host["last_remainderZerr"]
+            logZerr_running = host["logZerr_running"]
+            running = host["running"]
+            meta = ckpt.load_meta(checkpoint_dir)
+            chunk_index = int(meta["chunk_index"])
+            for c in ckpt.load_chunks(checkpoint_dir)[:chunk_index]:
+                dead_u.append(c["u"]); dead_x.append(c["x"])
+                dead_L.append(c["L"]); dead_w.append(c["w"])
+                dead_mask.append(c["mask"])
 
     while True:
+        if not running.any():
+            break
         state, dead = run(problem, state)
         d_L = np.asarray(dead.L)
         d_run = np.asarray(dead.running)
@@ -149,6 +178,7 @@ def multi_nested_integrator(
         dead_L.append(d_L)
         dead_w.append(np.where(d_run, d_w[:, None], -np.inf).astype(np.float32))
         dead_mask.append(d_run)
+        chunk_index += 1
 
         it = int(state.iteration)
         H_np = np.asarray(state.H, np.float64)
@@ -196,6 +226,23 @@ def multi_nested_integrator(
                 logZ0=float(np.logaddexp(logZ_np[0], last_remainderZ[0]))
                 if D else 0.0,
             )
+        if checkpoint_dir is not None:
+            ckpt.save_chunk(checkpoint_dir, chunk_index - 1, dict(
+                u=dead_u[-1], x=dead_x[-1], L=dead_L[-1], w=dead_w[-1],
+                mask=dead_mask[-1],
+            ))
+            if chunk_index % checkpoint_every == 0 or not running.any():
+                ckpt.save_state(
+                    checkpoint_dir, state,
+                    host_ctx=dict(
+                        tails_u=tails_u, tails_x=tails_x, tails_L=tails_L,
+                        tails_w=tails_w, last_remainderZ=last_remainderZ,
+                        last_remainderZerr=last_remainderZerr,
+                        logZerr_running=logZerr_running, running=running,
+                    ),
+                    meta=dict(chunk_index=chunk_index, ndata=D,
+                              nlive=K, iteration=it),
+                )
         if not running.any():
             break
         if int(state.pile_size) > 0.85 * pile_cap:

@@ -1,0 +1,259 @@
+"""Constrained-draw strategies (reference layer L3, survey §1).
+
+The reference ships three constrainers selected by ``CONSTRAINER``
+(sample.py:131-155): MLFriends (hiermetriclearn.py), multi-ellipsoid
+(elldrawer.py via nestle) and whitened slice sampling (whitenedmcmc.py).
+Here each is a triple of jax-traceable functions used inside the engine's
+fill loop:
+
+- ``build(members_u, member_mask, key, prev_scale, prev_radius)`` →
+  geometry pytree (rebuilt at NS-iteration start and on refocus),
+- ``init_chains(geom, key)`` → per-fill mutable strategy state,
+- ``propose(geom, sstate, key)`` → ``(cand_u[B, ndim], valid[B], sstate)``,
+- ``observe(sstate, cand_u, chain_accept)`` → sstate (likelihood feedback,
+  used by the slice strategy's accept/shrink rule).
+
+All three produce fixed-size candidate batches, so the engine's MXU-matmul
+scoring and shelf scatter are strategy-independent.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from massivedatans_tpu.config import RunConfig
+from massivedatans_tpu.ns import ellipsoids as ell_lib
+from massivedatans_tpu.ns import region as region_lib
+
+_NEG_BIG = -1e30
+
+
+def _no_refresh(geom, sstate, key, chain_accept):
+    return sstate
+
+
+class Strategy(NamedTuple):
+    build: Callable        # geometry from member points
+    init_chains: Callable  # per-fill strategy state
+    propose: Callable      # fixed-size candidate batch
+    observe: Callable      # likelihood feedback (slice shrink/advance)
+    refresh: Callable = _no_refresh  # post-feedback direction/restart update
+
+
+def _compact(u_prop, ok, B):
+    """Move in-geometry proposals to the front of a fixed eval batch."""
+    order = jnp.argsort(~ok)
+    take = order[:B]
+    return u_prop[take], ok[take]
+
+
+# --------------------------------------------------------------------------
+# MLFriends: metric-learned union-of-balls (hiermetriclearn.py:30-213)
+# --------------------------------------------------------------------------
+
+def make_mlfriends(cfg: RunConfig) -> Strategy:
+    def build(members_u, member_mask, key, prev_scale, prev_radius):
+        return region_lib.build_region(
+            members_u, member_mask, key,
+            nbootstraps=cfg.nbootstraps,
+            metriclearner=cfg.metriclearner,
+            prev_scale=prev_scale if cfg.force_shrink else None,
+            prev_radius=prev_radius if cfg.force_shrink else None,
+        )
+
+    def init_chains(geom, key):
+        return ()
+
+    def propose(geom, sstate, key):
+        u_prop, ok = region_lib.sample_region(geom, key, cfg.proposal_batch)
+        cand_u, valid = _compact(u_prop, ok, cfg.eval_batch)
+        return cand_u, valid, sstate
+
+    def observe(sstate, cand_u, chain_accept):
+        return sstate
+
+    return Strategy(build, init_chains, propose, observe)
+
+
+# --------------------------------------------------------------------------
+# Multi-ellipsoid (elldrawer.py:25-102, own fit instead of nestle)
+# --------------------------------------------------------------------------
+
+class EllGeom(NamedTuple):
+    ells: ell_lib.Ellipsoids
+    members_u: jax.Array
+    member_mask: jax.Array
+
+
+def make_multiellipsoids(cfg: RunConfig, n_ellipsoids: int = 4,
+                         enlarge: float = 3.0) -> Strategy:
+    def build(members_u, member_mask, key, prev_scale, prev_radius):
+        ells = ell_lib.fit_ellipsoids(
+            members_u, member_mask, key,
+            n_ellipsoids=n_ellipsoids, enlarge=enlarge,
+        )
+        return EllGeom(ells=ells, members_u=members_u, member_mask=member_mask)
+
+    def init_chains(geom, key):
+        return ()
+
+    def propose(geom, sstate, key):
+        u_prop, ok = ell_lib.sample_ellipsoids(
+            geom.ells, key, cfg.proposal_batch
+        )
+        in_cube = jnp.all((u_prop > 0.0) & (u_prop < 1.0), axis=1)
+        cand_u, valid = _compact(u_prop, ok & in_cube, cfg.eval_batch)
+        return cand_u, valid, sstate
+
+    def observe(sstate, cand_u, chain_accept):
+        return sstate
+
+    return Strategy(build, init_chains, propose, observe)
+
+
+# --------------------------------------------------------------------------
+# Whitened slice sampling (whitenedmcmc.py:127-324)
+# --------------------------------------------------------------------------
+
+class SliceGeom(NamedTuple):
+    members_u: jax.Array   # [M, ndim] chain restart points (live points)
+    member_mask: jax.Array  # [M]
+    metric: region_lib.Metric
+
+
+class SliceChains(NamedTuple):
+    u: jax.Array          # [C, ndim] current chain positions
+    direction: jax.Array  # [C, ndim] unit direction (whitened space)
+    lo: jax.Array         # [C] interval bounds along direction
+    hi: jax.Array         # [C]
+    t: jax.Array          # [C] last proposed offset
+    steps: jax.Array      # [C] accepted direction-steps since restart
+    axis: jax.Array       # [C] iterating coordinate index
+
+
+def _cube_bracket(u, direction):
+    """Exact [lo, hi] of {t : u + t*d in (0,1)^ndim}.
+
+    Replaces the reference's stepping-out doubling loop
+    (whitenedmcmc.py:144-174), whose inside-filter is the unit cube
+    (sample.py:150-152 wires FilteredUnitIterateSliceProposal with
+    is_inside_unit_filter): the bracket has a closed form on a box.
+    """
+    eps = 1e-12
+    d = jnp.where(jnp.abs(direction) < eps, eps, direction)
+    t0 = (0.0 - u) / d
+    t1 = (1.0 - u) / d
+    t_min = jnp.minimum(t0, t1)
+    t_max = jnp.maximum(t0, t1)
+    return jnp.max(t_min, axis=1), jnp.min(t_max, axis=1)
+
+
+def make_slice(cfg: RunConfig, nsteps: int | None = None,
+               iterate_axes: bool = True) -> Strategy:
+    """Batched slice sampler: C = eval_batch parallel chains, each advanced
+    one proposal per fill round; every proposal is scored against all
+    datasets by the shared matmul (the reference evaluates per proposal too,
+    whitenedmcmc.py:291-294, but discards non-final accepts — we shelve
+    them once the chain is past burn-in)."""
+    C = cfg.eval_batch
+
+    def build(members_u, member_mask, key, prev_scale, prev_radius):
+        metric = region_lib.fit_metric(
+            members_u, member_mask, cfg.metriclearner
+        )
+        return SliceGeom(members_u=members_u, member_mask=member_mask,
+                         metric=metric)
+
+    def _restart_points(geom, key, n):
+        logits = jnp.where(geom.member_mask, 0.0, _NEG_BIG)
+        pick = jax.random.categorical(key, logits, shape=(n,))
+        return geom.members_u[pick]
+
+    def _new_direction(geom, key, axis, ndim):
+        if iterate_axes:
+            # iterative component-wise direction in the whitened metric
+            # (FilteredUnitIterateSliceProposal, whitenedmcmc.py:232-249)
+            new_axis = (axis + 1) % ndim
+            d = jax.nn.one_hot(new_axis, ndim, dtype=jnp.float32)
+            d = d * geom.metric.scale[None, :]
+            d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+            return d, new_axis
+        d = jax.random.normal(key, (axis.shape[0], ndim))
+        d = d * geom.metric.scale[None, :]
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        return d, axis
+
+    def init_chains(geom, key):
+        ndim = geom.members_u.shape[1]
+        k1, k2 = jax.random.split(key)
+        u0 = _restart_points(geom, k1, C)
+        axis0 = jnp.zeros((C,), jnp.int32)
+        d0, axis0 = _new_direction(geom, k2, axis0, ndim)
+        lo, hi = _cube_bracket(u0, d0)
+        return SliceChains(
+            u=u0, direction=d0, lo=lo, hi=hi,
+            t=jnp.zeros((C,)), steps=jnp.zeros((C,), jnp.int32), axis=axis0,
+        )
+
+    n_burn = nsteps  # resolved lazily per-problem ndim below
+
+    def propose(geom, sstate, key):
+        t = jax.random.uniform(key, (C,), minval=sstate.lo, maxval=sstate.hi)
+        cand = sstate.u + sstate.direction * t[:, None]
+        cand = jnp.clip(cand, 1e-7, 1.0 - 1e-7)
+        ndim = cand.shape[1]
+        burn = (5 * ndim) if n_burn is None else n_burn
+        valid = sstate.steps >= burn
+        return cand, valid, sstate._replace(t=t)
+
+    def observe(sstate, cand_u, chain_accept):
+        # slice accept/shrink (whitenedmcmc.py:176-191): on accept move the
+        # chain; on reject shrink the interval toward the current point
+        new_u = jnp.where(chain_accept[:, None], cand_u, sstate.u)
+        lo = jnp.where(chain_accept | (sstate.t >= 0), sstate.lo, sstate.t)
+        hi = jnp.where(chain_accept | (sstate.t < 0), sstate.hi, sstate.t)
+        steps = sstate.steps + chain_accept.astype(jnp.int32)
+        return sstate._replace(u=new_u, lo=lo, hi=hi, steps=steps)
+
+    # direction refresh happens in observe2 (needs geom + key); engine calls
+    # refresh after observe
+    def refresh(geom, sstate, key, chain_accept):
+        ndim = geom.members_u.shape[1]
+        k_dir, k_restart = jax.random.split(key)
+        d_new, axis_new = _new_direction(geom, k_dir, sstate.axis, ndim)
+        direction = jnp.where(chain_accept[:, None], d_new, sstate.direction)
+        axis = jnp.where(chain_accept, axis_new, sstate.axis)
+        # interval collapse -> also refresh direction
+        collapsed = (sstate.hi - sstate.lo) < 1e-9
+        direction = jnp.where(collapsed[:, None], d_new, direction)
+        lo_new, hi_new = _cube_bracket(sstate.u, direction)
+        lo = jnp.where(chain_accept | collapsed, lo_new, sstate.lo)
+        hi = jnp.where(chain_accept | collapsed, hi_new, sstate.hi)
+        # periodic restart from a random live point to decorrelate
+        burn = 5 * ndim
+        restart = sstate.steps >= (burn + 8)
+        u_r = _restart_points(geom, k_restart, C)
+        u = jnp.where(restart[:, None], u_r, sstate.u)
+        steps = jnp.where(restart, 0, sstate.steps)
+        lo_r, hi_r = _cube_bracket(u, direction)
+        lo = jnp.where(restart, lo_r, lo)
+        hi = jnp.where(restart, hi_r, hi)
+        return sstate._replace(u=u, direction=direction, axis=axis,
+                               lo=lo, hi=hi, steps=steps)
+
+    return Strategy(build, init_chains, propose, observe, refresh)
+
+
+def make_strategy(cfg: RunConfig) -> Strategy:
+    """Resolve cfg.constrainer (reference CONSTRAINER env, sample.py:131)."""
+    name = cfg.constrainer.upper()
+    if name == "MLFRIENDS":
+        return make_mlfriends(cfg)
+    if name == "MULTIELLIPSOIDS":
+        return make_multiellipsoids(cfg)
+    if name == "SLICE":
+        return make_slice(cfg)
+    raise ValueError(f"unknown constrainer {cfg.constrainer!r}")

@@ -92,34 +92,38 @@ def test_nothing_suite_bayes_factors():
     )
     B = result.logZ - logZ0
     assert np.isfinite(B).all()
-    assert (B > -6.0).all() and (B < 6.0).all(), B
-    assert abs(np.median(B)) < 2.5, B
+    assert (B > -8.0).all() and (B < 4.0).all(), B
+    # the reference implementation on this exact data gives median B = -2.71
+    # (Occam penalty of the 3-parameter line model on pure noise); match it
+    # within combined MC error
+    assert -4.2 < np.median(B) < -1.2, B
 
 
 @pytest.mark.slow
 def test_horns_posterior_recovers_line_position():
     """Truth recovery on the canonical workload (plotposterior.py oracle):
     the posterior for mu must lie on the injected line for high-SNR spectra."""
-    data = gen_horns(12)
-    problem = make_gaussline_problem(data["x"], data["y"], data["noise_level"])
+    data = gen_horns(200)
+    snr = data["height_narrow"] / data["noise_level"]
+    bright = np.where(snr > 6)[0][:12]
+    assert len(bright) >= 4, len(bright)
+    y = data["y"][:, bright]
+    problem = make_gaussline_problem(data["x"], y, data["noise_level"])
     result = multi_nested_integrator(
         problem, SMALL, key=jax.random.key(7), progress=False
     )
-    snr = data["height_narrow"] / data["noise_level"]
     w = result.w + result.L
     errs = []
     for d in range(problem.ndata):
-        if snr[d] < 10:
-            continue
         wd = w[:, d].astype(np.float64)
         wd[~np.isfinite(wd)] = -np.inf
         p = np.exp(wd - wd.max())
         p /= p.sum()
         mu_mean = (p * result.x[:, d, 1]).sum()
         mu_sd = np.sqrt((p * (result.x[:, d, 1] - mu_mean) ** 2).sum())
-        pull = (mu_mean - data["mean_narrow"][d]) / max(mu_sd, 0.05)
+        pull = (mu_mean - data["mean_narrow"][bright[d]]) / max(mu_sd, 0.05)
         errs.append(pull)
     errs = np.array(errs)
-    assert len(errs) >= 3
+    assert len(errs) >= 4
     assert np.abs(errs).max() < 6.0, errs
     assert np.abs(errs).mean() < 2.5, errs

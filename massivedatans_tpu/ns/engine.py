@@ -62,6 +62,9 @@ class EngineState(NamedTuple):
     # --- region cache (force_shrink memory, hiermetriclearn.py:53-55) ---
     prev_scale: jax.Array  # [ndim]
     prev_radius: jax.Array  # scalar
+    # --- group decomposition advisory (host-computed, ns/subsets.py) ---
+    group_id: jax.Array    # [D] int32 connected-component label
+    n_groups: jax.Array    # scalar int32 (>= 1)
     # --- diagnostics ---
     stall_count: jax.Array  # [D] int32: fill rounds exhausted with empty shelf
     member_overflow: jax.Array  # scalar int32: unique live points > capacity events
@@ -198,6 +201,8 @@ def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
         ndraws=jnp.int32(K),
         prev_scale=jnp.zeros((ndim,), jnp.float32),
         prev_radius=jnp.float32(0.0),
+        group_id=jnp.zeros((D,), jnp.int32),
+        n_groups=jnp.int32(1),
         stall_count=jnp.zeros((D,), jnp.int32),
         member_overflow=jnp.int32(0),
     )
@@ -235,9 +240,19 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
         # data_mask = empty_mask policy, multi_nested_sampler.py:375-381).
         def refocus(_):
             empty = state.running & (shelves.count == 0)
+            # cycle focused rebuilds through host-computed connected
+            # components (the reference's per-memberset regions,
+            # multi_nested_sampler.py:415-460) — one group per refocus
+            grp = ((rnd - cfg.nsuperset_draws) // focus_every) % jnp.maximum(
+                state.n_groups, 1
+            )
+            grp_mask = empty & (state.group_id == grp)
+            col_mask = jnp.where(_global_any(grp_mask, axis_name), grp_mask,
+                                 empty)
             st = state._replace(pile_u=pile_u)
             g, ovf = _build_geometry_from(
-                strategy, st, empty, k_focus, cfg, member_capacity, axis_name
+                strategy, st, col_mask, k_focus, cfg, member_capacity,
+                axis_name
             )
             return g, overflow + ovf
 

@@ -247,6 +247,18 @@ def multi_nested_integrator(
             break
         if int(state.pile_size) > 0.85 * pile_cap:
             state = compact_pile(state)
+        if cfg.use_groups and D > 1:
+            # advisory group decomposition for focused draws (ns/subsets.py);
+            # cheap at chunk cadence, replaces reference igraph clusters()
+            from massivedatans_tpu.ns import subsets as subsets_lib
+
+            labels, n_groups = subsets_lib.component_labels(
+                np.asarray(state.live_idx), selected=running, nlive_points=K
+            )
+            state = state._replace(
+                group_id=jnp.asarray(np.maximum(labels, 0), jnp.int32),
+                n_groups=jnp.int32(max(n_groups, 1)),
+            )
 
     niter = int(state.iteration)
     u = np.concatenate(dead_u, axis=0)[:niter]

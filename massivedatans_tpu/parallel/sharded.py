@@ -55,6 +55,7 @@ def state_pspecs() -> EngineState:
         logVolremaining=r, logwidth=r, last_logwidth=d,
         iteration=r, ndraws=r,
         prev_scale=r, prev_radius=r,
+        group_id=d, n_groups=r,
         stall_count=d, member_overflow=r,
     )
 

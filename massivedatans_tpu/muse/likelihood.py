@@ -1,0 +1,93 @@
+"""Scale-marginalized spectral likelihood on the MXU.
+
+Reference ``cmuselike.c:34-66`` computes, per dataset, the LePhare-style
+best-fit amplitude ``s = sum(y*m/var) / sum(m^2/var)`` and then
+``-chi^2/2``. For a batch of B model spectra against D spaxels this is three
+matmuls:
+
+    s1[b,d] = ypred[b] . (y/var)[:, d]
+    s2[b,d] = ypred^2[b] . (1/var)[:, d]
+    chi2[b,d] = yy[d] - 2 s s1 + s^2 s2,  s = s1/(s2 + 1e-10)
+
+NaN spaxels (the reference's nansum, musefuse.py:379-382) are handled by
+zeroing their weights in the precomputed (y/var), (1/var), yy arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from massivedatans_tpu.models.base import Problem
+from massivedatans_tpu.muse.model import (
+    MuseModelData,
+    muse_prior_transform,
+    muse_prior_transform_zsol,
+    predict_batch,
+)
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MuseLikeData:
+    md: MuseModelData
+    y_over_v: Any   # [nspec, D] f32, zeroed where masked
+    inv_v: Any      # [nspec, D]
+    yy: Any         # [D] = sum y^2/var over valid spaxels
+    zsol: bool = dataclasses.field(default=False, metadata=dict(static=True))
+
+
+def scaled_loglike_batch(data: MuseLikeData, x_batch):
+    ypred = predict_batch(data.md, x_batch, zsol=data.zsol)  # [B, nspec]
+    s1 = jnp.dot(ypred, data.y_over_v, precision=_PREC,
+                 preferred_element_type=jnp.float32)
+    s2 = jnp.dot(jnp.square(ypred), data.inv_v, precision=_PREC,
+                 preferred_element_type=jnp.float32) + 1e-10
+    s = s1 / s2
+    chi2 = data.yy[None, :] - 2.0 * s * s1 + jnp.square(s) * s2
+    L = -0.5 * chi2
+    # "no stars" guard (musefuse.py:363-366): all-zero model -> -1e100
+    dead = jnp.all(ypred == 0.0, axis=1)
+    return jnp.where(dead[:, None], -1e100, L)
+
+
+def make_muse_problem(md: MuseModelData, y, var, zsol: bool = False,
+                      name: str = "muse") -> Problem:
+    """Build the MUSE Problem from [nspec, D] flux and variance arrays."""
+    y64 = np.asarray(y, np.float64)
+    v64 = np.asarray(var, np.float64)
+    valid = np.isfinite(y64) & np.isfinite(v64) & (v64 > 0)
+    inv_v = np.where(valid, 1.0 / v64, 0.0)
+    y_over_v = np.where(valid, y64 * inv_v, 0.0)
+    yy = np.where(valid, y64 ** 2 * inv_v, 0.0).sum(axis=0)
+    data = MuseLikeData(
+        md=md,
+        y_over_v=jnp.asarray(y_over_v, jnp.float32),
+        inv_v=jnp.asarray(inv_v, jnp.float32),
+        yy=jnp.asarray(yy, jnp.float32),
+        zsol=zsol,
+    )
+
+    if zsol:
+        def prior(u, _md=md):
+            return muse_prior_transform_zsol(_md, u)
+        ndim = 4
+    else:
+        def prior(u, _md=md):
+            return muse_prior_transform(_md, u)
+        ndim = 5
+
+    return Problem(
+        data=data,
+        prior_transform=prior,
+        loglike_batch=scaled_loglike_batch,
+        ndim=ndim,
+        ndata=int(y64.shape[1]),
+        name=name,
+    )

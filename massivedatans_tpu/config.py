@@ -40,6 +40,8 @@ class RunConfig:
     member_capacity: int = 0         # region member cap; 0 = auto (2*nlive rounded up)
     pile_capacity: int = 0           # point-pile cap; 0 = auto
     max_fill_rounds: int = 4096      # safety cap on fill loop per NS iteration
+    region_rebuild_every: int = 1    # NS iterations between geometry rebuilds
+                                     # (reference: every 1000 draws, sample.py:134)
     chunk_iters: int = 50            # NS iterations per device dispatch
     seed: int = 1                    # numpy.random.seed(1) (sample.py:162)
     matmul_precision: str = "highest"  # likelihood/distance matmul precision

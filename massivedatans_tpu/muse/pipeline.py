@@ -29,9 +29,13 @@ class MuseCube:
     wavelength_nm: np.ndarray  # [nspec]
     y: np.ndarray              # [nspec, D]
     var: np.ndarray            # [nspec, D]
-    goodids: np.ndarray        # [D] flat spaxel ids inside the region
+    goodids: np.ndarray        # [D] spaxel ids within the region selection
     mask_shape: tuple          # (ny, nx) of the field
     region_mask: np.ndarray    # [ny, nx]
+
+    def flat_positions(self) -> np.ndarray:
+        """Flat (ny*nx) field positions of the fitted spaxels, for maps."""
+        return np.where(self.region_mask.ravel())[0][self.goodids]
 
 
 def screen_noise_outliers(var: np.ndarray, window: int = 10,

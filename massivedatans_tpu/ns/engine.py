@@ -312,9 +312,15 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
 
 
 def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
-                 member_capacity: int, axis_name=None, strategy=None):
+                 member_capacity: int, axis_name=None, strategy=None,
+                 geom_carry=None):
     """One joint NS iteration: clean shelves, fill, advance every dataset,
-    update the streaming evidence (reference __next__ + integrator body)."""
+    update the streaming evidence (reference __next__ + integrator body).
+
+    ``geom_carry``: previous iteration's geometry; reused (the reference's
+    region-caching, cachedconstrainer.py) unless the rebuild cadence fires.
+    Returns ``((state, geom), dead)``.
+    """
     if strategy is None:
         from massivedatans_tpu.ns.strategies import make_strategy
 
@@ -328,9 +334,20 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
 
     key, k_geom, k_chains = jax.random.split(state.key, 3)
     state = state._replace(key=key)
-    geom, overflow = _build_geometry_from(
-        strategy, state, state.running, k_geom, cfg, member_capacity, axis_name
-    )
+
+    def rebuild(_):
+        return _build_geometry_from(
+            strategy, state, state.running, k_geom, cfg, member_capacity,
+            axis_name,
+        )
+
+    if geom_carry is None or cfg.region_rebuild_every <= 1:
+        geom, overflow = rebuild(None)
+    else:
+        do = (state.iteration % cfg.region_rebuild_every) == 0
+        geom, overflow = jax.lax.cond(
+            do, rebuild, lambda _: (geom_carry, jnp.int32(0)), None
+        )
     if isinstance(geom, Region):  # force_shrink memory (MLFriends only)
         state = state._replace(
             prev_scale=geom.metric.scale, prev_radius=geom.radius
@@ -385,7 +402,7 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
         logwidth=logwidth,
         running=state.running,
     )
-    return state, dead
+    return (state, geom), dead
 
 
 @functools.partial(
@@ -405,11 +422,24 @@ def run_chunk_inner(problem: Problem, state: EngineState, cfg: RunConfig,
 
     strategy = make_strategy(cfg)
 
-    def step(st, _):
+    def step(carry, _):
+        st, geom = carry
         return ns_iteration(problem, st, cfg, member_capacity, axis_name,
-                            strategy)
+                            strategy, geom)
 
-    return jax.lax.scan(step, state, None, length=n_iters)
+    # build the initial geometry so the scan carry has a fixed structure
+    key0, k_geom0 = jax.random.split(state.key)
+    geom0, overflow0 = _build_geometry_from(
+        strategy, state._replace(key=key0), state.running, k_geom0, cfg,
+        member_capacity, axis_name,
+    )
+    state = state._replace(
+        key=key0, member_overflow=state.member_overflow + overflow0
+    )
+    (state, _geom), dead = jax.lax.scan(
+        step, (state, geom0), None, length=n_iters
+    )
+    return state, dead
 
 
 @functools.partial(jax.jit, static_argnames=("nlive",))

@@ -1,0 +1,70 @@
+"""Post-processing utilities."""
+
+import json
+
+import numpy as np
+
+from massivedatans_tpu import postprocess as pp
+
+
+def _fake_out(niter=50, D=4, ndim=3, seed=0):
+    rng = np.random.default_rng(seed)
+    out = dict(
+        logZ=rng.normal(-100, 5, D),
+        logZerr=np.abs(rng.normal(0.3, 0.05, D)),
+        u=rng.uniform(size=(niter, D, ndim)).astype(np.float32),
+        x=rng.uniform(size=(niter, D, ndim)).astype(np.float32),
+        L=rng.normal(-50, 3, size=(niter, D)).astype(np.float32),
+        w=-np.linspace(0, 5, niter)[:, None].repeat(D, 1).astype(np.float32),
+        mask=np.ones((niter, D), bool),
+        ndraws=1234,
+    )
+    return out
+
+
+def test_posterior_weights_normalized():
+    out = _fake_out()
+    p = pp.posterior_weights(out, 0)
+    assert np.isclose(p.sum(), 1.0)
+    assert (p >= 0).all()
+    xs = pp.posterior_samples(out, 1, size=200)
+    assert xs.shape == (200, 3)
+
+
+def test_posterior_weights_ignore_inactive_rows():
+    out = _fake_out()
+    out["L"][10, 0] = -np.inf
+    out["w"][11, 0] = -np.inf
+    p = pp.posterior_weights(out, 0)
+    assert p[10] == 0 and p[11] == 0
+
+
+def test_bayes_factors_and_plot(tmp_path):
+    out = _fake_out()
+    rng = np.random.default_rng(1)
+    y = rng.normal(0, 0.01, size=(200, 4))
+    B = pp.plot_evidences(out, y, path=str(tmp_path / "ev.pdf"))
+    assert B.shape == (4,)
+    assert (tmp_path / "ev.pdf").exists()
+
+
+def test_plot_scaling(tmp_path):
+    files = []
+    for N, nd in [(10, 1000), (100, 3000), (1000, 10000)]:
+        fn = tmp_path / f"s{N}.json"
+        fn.write_text(json.dumps(dict(ndata=N, ndraws=nd, duration=1.0)))
+        files.append(str(fn))
+    N, draws = pp.plot_scaling(files, path=str(tmp_path / "sc.pdf"))
+    assert list(N) == [10, 100, 1000]
+    assert (tmp_path / "sc.pdf").exists()
+
+
+def test_muse_maps(tmp_path):
+    out = _fake_out(D=4)
+    flat_positions = np.array([0, 3, 7, 12])
+    maps = pp.muse_maps(out, flat_positions, (4, 4),
+                        path_prefix=str(tmp_path / "m"))
+    assert maps["logZ"].shape == (4, 4)
+    assert np.isfinite(maps["logZ"].ravel()[flat_positions]).all()
+    assert np.isnan(maps["logZ"].ravel()[1])
+    assert (tmp_path / "m_logZ.pdf").exists()

@@ -36,12 +36,14 @@ class RunConfig:
     # --- TPU engine knobs (no reference equivalent) ---
     proposal_batch: int = 512        # raw region proposals per fill round
     eval_batch: int = 128            # candidates scored per fill round (matmul rows)
-    shelf_capacity: int = 8          # per-dataset queue depth (reference: unbounded list)
+    shelf_capacity: int = 16         # per-dataset queue depth (reference: unbounded list)
     member_capacity: int = 0         # region member cap; 0 = auto (2*nlive rounded up)
     pile_capacity: int = 0           # point-pile cap; 0 = auto
     max_fill_rounds: int = 4096      # safety cap on fill loop per NS iteration
-    region_rebuild_every: int = 1    # NS iterations between geometry rebuilds
-                                     # (reference: every 1000 draws, sample.py:134)
+    region_rebuild_every: int = 10   # NS iterations between geometry rebuilds
+                                     # (reference: every 1000 draws, sample.py:134;
+                                     # stale regions are supersets of the current
+                                     # contour, so correctness is unaffected)
     chunk_iters: int = 50            # NS iterations per device dispatch
     seed: int = 1                    # numpy.random.seed(1) (sample.py:162)
     matmul_precision: str = "highest"  # likelihood/distance matmul precision

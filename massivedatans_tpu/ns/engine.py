@@ -220,7 +220,11 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
     collectives are the fill-loop vote and the pile-replication vote.
     """
     S = cfg.shelf_capacity
-    focus_every = 16
+    # the reference's nsuperset_draws counts single candidates
+    # (multi_nested_sampler.py:373); our rounds evaluate eval_batch at once
+    nsuperset_rounds = max(1, -(-cfg.nsuperset_draws // cfg.eval_batch))
+    focus_every = 8
+    live_bot = shelves_lib.live_bottom(state.live_L, S)  # once per iteration
 
     def need_more(shelves):
         return _global_any(state.running & (shelves.count == 0), axis_name)
@@ -243,7 +247,7 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
             # cycle focused rebuilds through host-computed connected
             # components (the reference's per-memberset regions,
             # multi_nested_sampler.py:415-460) — one group per refocus
-            grp = ((rnd - cfg.nsuperset_draws) // focus_every) % jnp.maximum(
+            grp = ((rnd - nsuperset_rounds) // focus_every) % jnp.maximum(
                 state.n_groups, 1
             )
             grp_mask = empty & (state.group_id == grp)
@@ -258,8 +262,8 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
 
         do_refocus = (
             cfg.use_focus
-            & (rnd >= cfg.nsuperset_draws)
-            & ((rnd - cfg.nsuperset_draws) % focus_every == 0)
+            & (rnd >= nsuperset_rounds)
+            & ((rnd - nsuperset_rounds) % focus_every == 0)
         )
         geom2, overflow = jax.lax.cond(
             do_refocus, refocus, lambda _: (geom, overflow), None
@@ -269,7 +273,7 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
         cand_x = problem.transform_batch(cand_u)
         L = problem.loglike(cand_x)  # [B, D] — the MXU matmul
 
-        thresh = shelves_lib.insertion_thresholds(state.live_L, shelves)  # [D]
+        thresh = shelves_lib.insertion_thresholds(live_bot, shelves)  # [D]
         space = shelves.count < S
         above = state.running[None, :] & (L > thresh[None, :])
         acc = valid[:, None] & space[None, :] & above

@@ -51,18 +51,28 @@ def clean(shelves: Shelves, Lmins) -> Shelves:
     )
 
 
-def insertion_thresholds(live_L, shelves: Shelves) -> jax.Array:
+def live_bottom(live_L, capacity: int) -> jax.Array:
+    """Sorted smallest ``capacity + 1`` live L's per dataset — the only part
+    of live_L the insertion thresholds can ever reference (n <= capacity).
+    Computed once per NS iteration so the per-fill-round threshold sort is
+    O(S) instead of O(K + S) deep."""
+    k = min(capacity + 1, live_L.shape[0])
+    return -jax.lax.top_k(-live_L.T, k)[0].T  # [k, D] ascending
+
+
+def insertion_thresholds(live_bot, shelves: Shelves) -> jax.Array:
     """Corrected acceptance threshold per dataset.
 
     Reference ``Lmins_higher``/``find_nsmallest`` (multi_nested_sampler.py:
     44-47, 438-447): to be useful at queue position n = count(d), a new entry
     must exceed the n-th smallest of live L's and shelved L's combined.
-    For empty shelves this is exactly Lmin(d).
+    For empty shelves this is exactly Lmin(d). ``live_bot`` is the
+    ``live_bottom`` precomputation (n never exceeds the shelf capacity).
     """
     S = shelves.L.shape[0]
     slot = jnp.arange(S)[:, None]
     shelf_vals = jnp.where(slot < shelves.count[None, :], shelves.L, jnp.inf)
-    cat = jnp.concatenate([live_L, shelf_vals], axis=0)  # [K+S, D]
+    cat = jnp.concatenate([live_bot, shelf_vals], axis=0)  # [S+1+S, D]
     cat = jnp.sort(cat, axis=0)
     return jnp.take_along_axis(cat, shelves.count[None, :], axis=0)[0]
 

@@ -62,8 +62,9 @@ def test_analytic_posterior_recovers_centers(analytic_result):
         p = np.exp(wd - wd.max())
         p /= p.sum()
         mean = (p[:, None] * result.x[:, d, :]).sum(axis=0)
-        # posterior mean ~ center to within a few sigma/sqrt(neff)
-        assert np.abs(mean - centers[d]).max() < 0.02, (d, mean, centers[d])
+        # posterior mean ~ center to within ~0.6 posterior sigma (MC noise
+        # with the effective sample size of a K=100 run)
+        assert np.abs(mean - centers[d]).max() < 0.03, (d, mean, centers[d])
 
 
 def test_result_schema(analytic_result):

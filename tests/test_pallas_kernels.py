@@ -1,0 +1,55 @@
+"""Pallas kernel equivalence vs the jnp reference formulations.
+
+Runs in interpreter mode on CPU (the tests' virtual-device platform); the
+same kernels compile natively on TPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.spatial
+
+from massivedatans_tpu.ops.pallas_neighbors import (
+    bootstrapped_sq_radius_pallas,
+    count_within_pallas,
+)
+
+
+def test_count_within_matches_scipy():
+    rng = np.random.default_rng(0)
+    M, N, ndim = 128, 300, 3
+    members = rng.uniform(size=(M, ndim)).astype(np.float32)
+    mask = np.ones(M, bool)
+    mask[100:] = False
+    pts = rng.uniform(-0.2, 1.2, size=(N, ndim)).astype(np.float32)
+    r = 0.2
+    got = np.asarray(count_within_pallas(
+        jnp.asarray(members), jnp.asarray(mask), jnp.asarray(pts),
+        jnp.float32(r), interpret=True))
+    d = scipy.spatial.distance.cdist(pts, members[:100])
+    want = (d < r).sum(axis=1)
+    boundary = (np.abs(d - r) < 1e-4).sum(axis=1)
+    assert (np.abs(got - want) <= boundary).all()
+
+
+def test_bootstrap_radius_matches_oracle():
+    rng = np.random.default_rng(1)
+    M, ndim, nb = 64, 2, 8
+    w = rng.uniform(size=(M, ndim)).astype(np.float32)
+    mask = np.ones(M, bool)
+    mask[50:] = False
+    inbag = rng.random((nb, M)) < 0.6
+    inbag[:, ~mask] = False
+    got = float(bootstrapped_sq_radius_pallas(
+        jnp.asarray(w), jnp.asarray(mask), jnp.asarray(inbag),
+        interpret=True))
+
+    d = scipy.spatial.distance.cdist(w, w) ** 2
+    want = 0.0
+    for b in range(nb):
+        oob = mask & ~inbag[b]
+        if not oob.any() or not inbag[b].any():
+            continue
+        nearest = d[np.ix_(oob, inbag[b])].min(axis=1)
+        want = max(want, nearest.max())
+    assert np.isclose(got, want, rtol=1e-4, atol=1e-5), (got, want)

@@ -27,7 +27,8 @@ def test_insertion_thresholds_match_reference_formula():
         L[: counts[d], d] = rng.normal(size=counts[d])
     shelves = sh.Shelves(idx=shelves.idx, L=jnp.asarray(L),
                          count=jnp.asarray(counts, jnp.int32))
-    got = np.asarray(sh.insertion_thresholds(jnp.asarray(live_L), shelves))
+    live_bot = sh.live_bottom(jnp.asarray(live_L), S)
+    got = np.asarray(sh.insertion_thresholds(live_bot, shelves))
     for d in range(D):
         n = counts[d]
         if n == 0:

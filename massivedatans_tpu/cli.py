@@ -115,8 +115,71 @@ def main(argv=None):
     c.add_argument("--max-datasets", type=int, default=4)
     c.set_defaults(fn=cmd_check)
 
+    m = sub.add_parser("musefit", help="fit a MUSE datacube (musefuse.py)")
+    m.add_argument("cube")
+    m.add_argument("region")
+    m.add_argument("zlo", type=float)
+    m.add_argument("zhi", type=float)
+    m.add_argument("templates", nargs="+")
+    m.add_argument("--model", default=None,
+                   choices=["FULL", "ZSOL"])
+    m.add_argument("--maxdata", type=int, default=None)
+    m.add_argument("--nlive", type=int, default=None)
+    m.add_argument("--max-samples", type=int, default=100000)
+    m.add_argument("--out", default=None)
+    m.set_defaults(fn=cmd_musefit)
+
+    pe = sub.add_parser("plot-evidences",
+                        help="Bayes factors vs no-signal (plotevidences.py)")
+    pe.add_argument("data")
+    pe.add_argument("output")
+    pe.add_argument("--out", default="plotevidences.pdf")
+    pe.set_defaults(fn=cmd_plot_evidences)
+
+    ps = sub.add_parser("plot-scaling",
+                        help="evals vs N scaling (plotscaling.py)")
+    ps.add_argument("stats", nargs="+")
+    ps.add_argument("--out", default="scaling.pdf")
+    ps.set_defaults(fn=cmd_plot_scaling)
+
     args = p.parse_args(argv)
     return args.fn(args)
+
+
+def cmd_musefit(args):
+    import os
+
+    from massivedatans_tpu.muse.pipeline import run_musefit
+
+    model = args.model or os.environ.get("MODEL", "FULL")
+    maxdata = args.maxdata
+    if maxdata is None:
+        maxdata = int(os.environ.get("MAXDATA", 0))
+    result, problem, cube = run_musefit(
+        args.cube, args.region, args.zlo, args.zhi, args.templates,
+        model=model, maxdata=maxdata,
+        nlive=args.nlive or int(os.environ.get("NLIVE_POINTS", 400)),
+        max_samples=args.max_samples, out_prefix=args.out,
+    )
+    print("logZ = %.1f +- %.1f" % (result.logZ[0], result.logZerr[0]))
+    print("ndraws:", result.ndraws)
+
+
+def cmd_plot_evidences(args):
+    from massivedatans_tpu import postprocess as pp
+    from massivedatans_tpu.io.hdf5io import load_spectra, read_results
+
+    _, y = load_spectra(args.data)
+    out = read_results(args.output)
+    B = pp.plot_evidences(out, y[:, :out["logZ"].shape[0]], path=args.out)
+    print(f"median log10 B = {np.median(B):.2f}; wrote {args.out}")
+
+
+def cmd_plot_scaling(args):
+    from massivedatans_tpu import postprocess as pp
+
+    N, draws = pp.plot_scaling(args.stats, path=args.out)
+    print("N:", list(N), "draws:", list(draws), "-> wrote", args.out)
 
 
 if __name__ == "__main__":

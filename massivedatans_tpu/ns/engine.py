@@ -464,16 +464,81 @@ def integrate_remainder(live_L, logZ, H, logwidth, Lmax, nlive: int):
     logZlo = jnp.logaddexp(logZ, logwidth + jnp.log(Lmin_sum) + L0)
     logZerr = logZup - logZlo
 
-    def body(carry, L_row):
-        logZc, Hc = carry
-        wi = logwidth + L_row
-        logZn, Hn = _safe_logaddexp_update(logZc, Hc, wi, L_row)
-        Hn = jnp.maximum(Hn, 0.0)
-        return (logZn, Hn), None
-
-    (_, Hf), _ = jax.lax.scan(body, (logZ, H), Ls_sorted)
+    # The reference's sequential H update over the K live points
+    # (multi_nested_integrator.py:47-55) telescopes: with
+    # G_k = exp(logZ_k) * (H_k + logZ_k), each step adds exp(w_k) * L_k, so
+    #   H_final = sum_k exp(logw + L_k - Zf) * L_k
+    #           + exp(logZ - Zf) * (H + logZ) - Zf
+    # — a closed form, no scan (a 400-step scan is brutal to compile).
+    Zf = logZmid
+    wgt = jnp.exp(logwidth + Ls_sorted - Zf[None, :])
+    contrib = jnp.where(wgt > 0.0, wgt * Ls_sorted, 0.0)  # 0 * -1e100 guard
+    prev = jnp.where(
+        jnp.isfinite(logZ), jnp.exp(logZ - Zf) * (H + logZ), 0.0
+    )
+    Hf = jnp.maximum(contrib.sum(axis=0) + prev - Zf, 0.0)
     totalZerr = logZerr + jnp.sqrt(Hf / nlive)
     return logwidth + logLmid, logZerr, logZmid, totalZerr
+
+
+@functools.partial(jax.jit, static_argnames=("nlive",))
+def chunk_report(state: EngineState, dead: DeadChunk, nlive: int):
+    """Pack everything the host integrator reads per chunk into ONE flat f32
+    array, so the device->host path is a single transfer (the per-fetch
+    latency of a tunneled TPU dominates otherwise)."""
+    T, D = dead.L.shape
+    remZ, remZerr, totalZ, totalZerr = integrate_remainder(
+        state.live_L, state.logZ, state.H, state.logwidth, state.Lmax, nlive
+    )
+    ndraws = state.ndraws
+    header = jnp.stack([
+        state.iteration.astype(jnp.float32),
+        (ndraws // 65536).astype(jnp.float32),
+        (ndraws % 65536).astype(jnp.float32),
+        state.pile_size.astype(jnp.float32),
+        state.stall_count.max().astype(jnp.float32),
+        state.member_overflow.astype(jnp.float32),
+        jnp.float32(T),
+        jnp.float32(D),
+    ])
+    return jnp.concatenate([
+        header,
+        state.logZ, state.H, state.last_logwidth,
+        remZ, remZerr, totalZ, totalZerr,
+        dead.logwidth,
+        dead.running.astype(jnp.float32).reshape(-1),
+        dead.L.reshape(-1),
+        dead.u.reshape(-1),
+        dead.x.reshape(-1),
+    ])
+
+
+def parse_report(buf, T: int, D: int, ndim: int) -> dict:
+    """Host-side unpack of chunk_report (numpy views, no copies)."""
+    import numpy as np
+
+    out = {}
+    o = 8
+    h = buf[:o]
+    out["iteration"] = int(h[0])
+    out["ndraws"] = int(h[1]) * 65536 + int(h[2])
+    out["pile_size"] = int(h[3])
+    out["stall_max"] = int(h[4])
+    out["member_overflow"] = int(h[5])
+    for name in ("logZ", "H", "last_logwidth", "remZ", "remZerr", "totalZ",
+                 "totalZerr"):
+        out[name] = buf[o:o + D].astype(np.float64)
+        o += D
+    out["logwidth"] = buf[o:o + T]
+    o += T
+    out["running"] = buf[o:o + T * D].reshape(T, D) > 0.5
+    o += T * D
+    out["L"] = buf[o:o + T * D].reshape(T, D)
+    o += T * D
+    out["u"] = buf[o:o + T * D * ndim].reshape(T, D, ndim)
+    o += T * D * ndim
+    out["x"] = buf[o:o + T * D * ndim].reshape(T, D, ndim)
+    return out
 
 
 @jax.jit

@@ -166,46 +166,50 @@ def multi_nested_integrator(
                 dead_L.append(c["L"]); dead_w.append(c["w"])
                 dead_mask.append(c["mask"])
 
+    final_logZ = np.full(D, -np.inf, np.float64)
+    final_H = np.zeros(D, np.float64)
+    rep = None
     while True:
         if not running.any():
             break
         state, dead = run(problem, state)
-        d_L = np.asarray(dead.L)
-        d_run = np.asarray(dead.running)
-        d_w = np.asarray(dead.logwidth)
-        dead_u.append(np.asarray(dead.u))
-        dead_x.append(np.asarray(dead.x))
-        dead_L.append(d_L)
-        dead_w.append(np.where(d_run, d_w[:, None], -np.inf).astype(np.float32))
+        # one packed device->host transfer per chunk: per-fetch latency on a
+        # tunneled TPU otherwise dominates the whole run
+        buf = np.asarray(engine_lib.chunk_report(state, dead, K))
+        rep = engine_lib.parse_report(buf, cfg.chunk_iters, D, ndim)
+        d_run = rep["running"]
+        dead_u.append(rep["u"])
+        dead_x.append(rep["x"])
+        dead_L.append(rep["L"])
+        dead_w.append(
+            np.where(d_run, rep["logwidth"][:, None], -np.inf).astype(np.float32)
+        )
         dead_mask.append(d_run)
         chunk_index += 1
 
-        it = int(state.iteration)
-        H_np = np.asarray(state.H, np.float64)
-        logZ_np = np.asarray(state.logZ, np.float64)
-        logZerr_running[running] = np.sqrt(np.maximum(H_np[running], 0.0) / K)
+        it = rep["iteration"]
+        final_logZ, final_H = rep["logZ"], rep["H"]
+        logZerr_running[running] = np.sqrt(
+            np.maximum(rep["H"][running], 0.0) / K
+        )
 
         # --- termination check (multi_nested_integrator.py:136-155) ---
         check = it > min_samples or (max_samples and it > max_samples)
         if check:
-            remZ, remZerr, totalZ, totalZerr = engine_lib.integrate_remainder(
-                state.live_L, state.logZ, state.H, state.logwidth, state.Lmax, K
-            )
-            remZ = np.asarray(remZ, np.float64)
-            remZerr = np.asarray(remZerr, np.float64)
-            totalZerr_np = np.asarray(totalZerr, np.float64)
-            terminating = running & (totalZerr_np < tolerance)
+            terminating = running & (rep["totalZerr"] < tolerance)
             if max_samples and it > max_samples:
                 terminating = running.copy()
             # force-terminate datasets the sampler cannot fill (diagnostic;
             # the reference would spin forever here)
-            stalls = np.asarray(state.stall_count)
-            stuck = running & (stalls > 2 * cfg.chunk_iters)
-            if stuck.any():
-                log.warning(
-                    "force-terminating %d stalled datasets", int(stuck.sum())
-                )
-                terminating |= stuck
+            if rep["stall_max"] > 2 * cfg.chunk_iters:
+                stalls = np.asarray(state.stall_count)
+                stuck = running & (stalls > 2 * cfg.chunk_iters)
+                if stuck.any():
+                    log.warning(
+                        "force-terminating %d stalled datasets",
+                        int(stuck.sum()),
+                    )
+                    terminating |= stuck
             if terminating.any():
                 cols = np.where(terminating)[0].astype(np.int32)
                 padded = _pad_cols(cols)
@@ -214,16 +218,16 @@ def multi_nested_integrator(
                 tails_u[:, cols] = np.asarray(tu)[:, :ncols]
                 tails_x[:, cols] = np.asarray(tx)[:, :ncols]
                 tails_L[:, cols] = np.asarray(tL)[:, :ncols]
-                tails_w[cols] = np.asarray(state.last_logwidth)[cols]
-                last_remainderZ[cols] = remZ[cols]
-                last_remainderZerr[cols] = remZerr[cols]
+                tails_w[cols] = rep["last_logwidth"][cols]
+                last_remainderZ[cols] = rep["remZ"][cols]
+                last_remainderZerr[cols] = rep["remZerr"][cols]
                 running &= ~terminating
                 state = state._replace(running=jnp.asarray(running))
             reporter.update(
                 it=it,
-                ndraws=int(state.ndraws),
+                ndraws=rep["ndraws"],
                 running=int(running.sum()),
-                logZ0=float(np.logaddexp(logZ_np[0], last_remainderZ[0]))
+                logZ0=float(np.logaddexp(rep["logZ"][0], last_remainderZ[0]))
                 if D else 0.0,
             )
         if checkpoint_dir is not None:
@@ -245,7 +249,7 @@ def multi_nested_integrator(
                 )
         if not running.any():
             break
-        if int(state.pile_size) > 0.85 * pile_cap:
+        if rep["pile_size"] > 0.85 * pile_cap:
             state = compact_pile(state)
         if cfg.use_groups and D > 1:
             # advisory group decomposition for focused draws (ns/subsets.py);
@@ -260,7 +264,24 @@ def multi_nested_integrator(
                 n_groups=jnp.int32(max(n_groups, 1)),
             )
 
-    niter = int(state.iteration)
+    if rep is None:  # resumed checkpoint that was already complete
+        rep = dict(
+            iteration=int(state.iteration),
+            ndraws=int(state.ndraws),
+            pile_size=int(state.pile_size),
+            stall_max=int(np.asarray(state.stall_count).max(initial=0)),
+            member_overflow=int(state.member_overflow),
+        )
+        final_logZ = np.asarray(state.logZ, np.float64)
+        final_H = np.asarray(state.H, np.float64)
+        if not dead_u:
+            dead_u.append(np.zeros((0, D, ndim), np.float32))
+            dead_x.append(np.zeros((0, D, ndim), np.float32))
+            dead_L.append(np.zeros((0, D), np.float32))
+            dead_w.append(np.zeros((0, D), np.float32))
+            dead_mask.append(np.zeros((0, D), bool))
+
+    niter = int(rep["iteration"])
     u = np.concatenate(dead_u, axis=0)[:niter]
     x = np.concatenate(dead_x, axis=0)[:niter]
     L = np.concatenate(dead_L, axis=0)[:niter]
@@ -276,11 +297,10 @@ def multi_nested_integrator(
     w = np.concatenate([w, tail_w], axis=0)
     mask = np.concatenate([mask, tail_mask], axis=0)
 
-    logZ_np = np.asarray(state.logZ, np.float64)
-    logZ_final = np.logaddexp(logZ_np, last_remainderZ)
+    logZ_final = np.logaddexp(final_logZ, last_remainderZ)
     logZerr_final = logZerr_running + last_remainderZerr
     duration = time.time() - t0
-    reporter.finish(niter=niter, ndraws=int(state.ndraws), duration=duration)
+    reporter.finish(niter=niter, ndraws=rep["ndraws"], duration=duration)
 
     return NSResult(
         logZ=logZ_final,
@@ -290,17 +310,17 @@ def multi_nested_integrator(
         L=L,
         w=w,
         mask=mask,
-        information=np.asarray(state.H, np.float64),
+        information=final_H,
         niterations=niter,
-        ndraws=int(state.ndraws),
+        ndraws=rep["ndraws"],
         duration=duration,
         stats=dict(
-            ndraws=int(state.ndraws),
+            ndraws=rep["ndraws"],
             duration=duration,
             ndata=D,
             niter=niter,
-            stalled=int(np.asarray(state.stall_count).max(initial=0)),
-            member_overflow=int(state.member_overflow),
-            pile_peak=int(state.pile_size),
+            stalled=rep["stall_max"],
+            member_overflow=rep["member_overflow"],
+            pile_peak=rep["pile_size"],
         ),
     )

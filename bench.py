@@ -27,6 +27,10 @@ NLIVE = int(os.environ.get("BENCH_NLIVE", "400"))
 def main():
     import jax
 
+    from massivedatans_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from massivedatans_tpu.config import RunConfig
     from massivedatans_tpu.datagen.generators import gen_horns
     from massivedatans_tpu.models.gaussline import make_gaussline_problem

@@ -88,6 +88,9 @@ def cmd_check(args):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(message)s")
+    from massivedatans_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(prog="massivedatans_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

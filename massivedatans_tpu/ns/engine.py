@@ -452,13 +452,20 @@ def integrate_remainder(live_L, logZ, H, logwidth, Lmax, nlive: int):
     (reference ``integrate_remainder``, multi_nested_integrator.py:26-59).
 
     Returns (remainderZ, remainderZerr, totalZ, totalZerr), each [D].
+
+    Sort-free: the reference sorts the live points (remainder()), but every
+    quantity here depends only on sums and the min/max —
+    ``Ls[1:].sum + Ls[-1] = sum - min + max`` etc. — and the telescoped H
+    update below is order-independent.
     """
-    Ls_sorted = jnp.sort(live_L, axis=0)  # [K, D] ascending
     L0 = Lmax
-    Ls = jnp.exp(Ls_sorted - L0[None, :])
-    Lmax_sum = Ls[1:].sum(axis=0) + Ls[-1]
-    Lmin_sum = Ls[:-1].sum(axis=0) + Ls[0]
-    logLmid = jnp.log(Ls.sum(axis=0)) + L0
+    Ls = jnp.exp(live_L - L0[None, :])  # [K, D]
+    Ls_sum = Ls.sum(axis=0)
+    Ls_min = jnp.exp(live_L.min(axis=0) - L0)
+    Ls_max = jnp.exp(0.0 * L0)  # == 1: the max live point equals Lmax
+    Lmax_sum = Ls_sum - Ls_min + Ls_max
+    Lmin_sum = Ls_sum - Ls_max + Ls_min
+    logLmid = jnp.log(Ls_sum) + L0
     logZmid = jnp.logaddexp(logZ, logwidth + logLmid)
     logZup = jnp.logaddexp(logZ, logwidth + jnp.log(Lmax_sum) + L0)
     logZlo = jnp.logaddexp(logZ, logwidth + jnp.log(Lmin_sum) + L0)
@@ -471,8 +478,8 @@ def integrate_remainder(live_L, logZ, H, logwidth, Lmax, nlive: int):
     #           + exp(logZ - Zf) * (H + logZ) - Zf
     # — a closed form, no scan (a 400-step scan is brutal to compile).
     Zf = logZmid
-    wgt = jnp.exp(logwidth + Ls_sorted - Zf[None, :])
-    contrib = jnp.where(wgt > 0.0, wgt * Ls_sorted, 0.0)  # 0 * -1e100 guard
+    wgt = jnp.exp(logwidth + live_L - Zf[None, :])
+    contrib = jnp.where(wgt > 0.0, wgt * live_L, 0.0)  # 0 * -1e100 guard
     prev = jnp.where(
         jnp.isfinite(logZ), jnp.exp(logZ - Zf) * (H + logZ), 0.0
     )

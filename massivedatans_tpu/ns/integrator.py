@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from typing import Optional
 
@@ -169,13 +170,23 @@ def multi_nested_integrator(
     final_logZ = np.full(D, -np.inf, np.float64)
     final_H = np.zeros(D, np.float64)
     rep = None
+    debug_timing = bool(int(os.environ.get("MDT_DEBUG_TIMING", "0")))
+    # tracing hook (survey §5): MDT_PROFILE_DIR=<dir> captures a jax
+    # profiler trace of the first few chunks for xprof/tensorboard
+    profile_dir = os.environ.get("MDT_PROFILE_DIR")
+    profile_chunks = int(os.environ.get("MDT_PROFILE_CHUNKS", "3"))
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     while True:
         if not running.any():
             break
+        t_c0 = time.time()
         state, dead = run(problem, state)
+        t_c1 = time.time()
         # one packed device->host transfer per chunk: per-fetch latency on a
         # tunneled TPU otherwise dominates the whole run
         buf = np.asarray(engine_lib.chunk_report(state, dead, K))
+        t_c2 = time.time()
         rep = engine_lib.parse_report(buf, cfg.chunk_iters, D, ndim)
         d_run = rep["running"]
         dead_u.append(rep["u"])
@@ -251,6 +262,10 @@ def multi_nested_integrator(
             break
         if rep["pile_size"] > 0.85 * pile_cap:
             state = compact_pile(state)
+        if profile_dir and chunk_index == profile_chunks:
+            jax.profiler.stop_trace()
+            profile_dir = None
+        t_c3 = time.time()
         if cfg.use_groups and D > 1:
             # advisory group decomposition for focused draws (ns/subsets.py);
             # cheap at chunk cadence, replaces reference igraph clusters()
@@ -263,6 +278,18 @@ def multi_nested_integrator(
                 group_id=jnp.asarray(np.maximum(labels, 0), jnp.int32),
                 n_groups=jnp.int32(max(n_groups, 1)),
             )
+        if debug_timing:
+            import sys
+
+            print(
+                "chunk %d: run=%.0fms report=%.0fms term=%.0fms groups=%.0fms"
+                % (chunk_index, 1e3 * (t_c1 - t_c0), 1e3 * (t_c2 - t_c1),
+                   1e3 * (t_c3 - t_c2), 1e3 * (time.time() - t_c3)),
+                file=sys.stderr, flush=True,
+            )
+
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     if rep is None:  # resumed checkpoint that was already complete
         rep = dict(

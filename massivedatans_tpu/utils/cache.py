@@ -1,0 +1,32 @@
+"""Persistent XLA compilation cache setup.
+
+Engine step graphs take O(10s)–O(100s) to compile (more through a remote
+compile service); a disk cache amortizes that across processes and rounds.
+Called by the CLI, bench and graft entry points.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+log = logging.getLogger("massivedatans_tpu")
+
+_DEFAULT_DIR = os.environ.get(
+    "MDT_COMPILE_CACHE", os.path.expanduser("~/.cache/mdt_xla_cache")
+)
+
+
+def enable_compilation_cache(path: str | None = None) -> bool:
+    try:
+        import jax
+
+        cache_dir = path or _DEFAULT_DIR
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return True
+    except Exception as e:  # older jax or read-only fs: non-fatal
+        log.info("compilation cache unavailable: %s", e)
+        return False

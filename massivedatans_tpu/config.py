@@ -31,7 +31,12 @@ class RunConfig:
     metriclearner: str = "truncatedscaling"  # sample.py:134
     force_shrink: bool = True        # sample.py:134
     nbootstraps: int = 10            # radfriendsregion.py:59
-    check_every: int = 50            # termination cadence (multi_nested_integrator.py:136)
+    check_every: int = 50            # tolerance-check cadence in iterations
+                                     # (multi_nested_integrator.py:136); runs
+                                     # on-device (engine.device_termination);
+                                     # max_samples is enforced immediately
+    stall_limit: int = 0             # iterations with an unfillable shelf before a
+                                     # dataset is force-terminated; 0 = auto
 
     # --- TPU engine knobs (no reference equivalent) ---
     proposal_batch: int = 512        # raw region proposals per fill round

@@ -27,9 +27,13 @@ _STATE = "state.npz"
 _HOST = "host.npz"
 _META = "meta.json"
 
+# Bump whenever EngineState gains/loses/reorders fields: leaves are stored
+# positionally, so silently loading an old layout would scramble the state.
+FORMAT_VERSION = 2
+
 
 def _flatten_state(state: EngineState) -> dict:
-    flat = {}
+    flat = {"format_version": np.int64(FORMAT_VERSION)}
     leaves, treedef = jax.tree.flatten(state)
     for i, leaf in enumerate(leaves):
         if jnp.issubdtype(getattr(leaf, "dtype", None), jax.dtypes.prng_key):
@@ -61,6 +65,13 @@ def load_state(path: str, template: EngineState):
     """Rebuild an EngineState from disk using a freshly-initialized template
     for the pytree structure."""
     data = np.load(os.path.join(path, _STATE))
+    found = int(data["format_version"]) if "format_version" in data else 1
+    if found != FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint {path} has state format v{found}, this build "
+            f"expects v{FORMAT_VERSION}; finish the run with the matching "
+            "code version or restart without --resume"
+        )
     leaves, treedef = jax.tree.flatten(template)
     new_leaves = []
     for i, leaf in enumerate(leaves):

@@ -57,6 +57,8 @@ class EngineState(NamedTuple):
     logVolremaining: jax.Array  # scalar
     logwidth: jax.Array    # scalar, current iteration's log slab width
     last_logwidth: jax.Array    # [D], frozen at termination
+    rem_logZ: jax.Array    # [D] remainder logZ, frozen at termination
+    rem_logZerr: jax.Array  # [D] remainder logZerr, frozen at termination
     iteration: jax.Array   # scalar int32
     ndraws: jax.Array      # scalar int32: likelihood-evaluated candidates
     # --- region cache (force_shrink memory, hiermetriclearn.py:53-55) ---
@@ -197,6 +199,8 @@ def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
         logVolremaining=jnp.float32(0.0),
         logwidth=jnp.float32(jnp.log1p(-jnp.exp(-1.0 / K))),
         last_logwidth=jnp.zeros((D,), jnp.float32),
+        rem_logZ=jnp.full((D,), _NEG_INF, jnp.float32),
+        rem_logZerr=jnp.zeros((D,), jnp.float32),
         iteration=jnp.int32(0),
         ndraws=jnp.int32(K),
         prev_scale=jnp.zeros((ndim,), jnp.float32),
@@ -348,7 +352,9 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
     if geom_carry is None or cfg.region_rebuild_every <= 1:
         geom, overflow = rebuild(None)
     else:
-        do = (state.iteration % cfg.region_rebuild_every) == 0
+        do = ((state.iteration % cfg.region_rebuild_every) == 0) & _global_any(
+            state.running, axis_name
+        )
         geom, overflow = jax.lax.cond(
             do, rebuild, lambda _: (geom_carry, jnp.int32(0)), None
         )
@@ -379,7 +385,15 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
     live_L = state.live_L.at[worst, cols].set(jnp.where(adv, head_L, dead_L))
 
     # --- streaming evidence update (multi_nested_integrator.py:105-161) ---
-    logwidth = jnp.log1p(-jnp.exp(-1.0 / K)) + state.logVolremaining
+    # `active` gates the iteration counter and volume shrinkage so trailing
+    # no-op iterations inside a chunk (after every dataset terminated on
+    # device) leave the integration state untouched
+    active = _global_any(state.running, axis_name)
+    logwidth = jnp.where(
+        active,
+        jnp.log1p(-jnp.exp(-1.0 / K)) + state.logVolremaining,
+        state.logwidth,
+    )
     wi = logwidth + dead_L
     logZnew, Hnew = _safe_logaddexp_update(state.logZ, state.H, wi, dead_L)
     logZ = jnp.where(adv, logZnew, state.logZ)
@@ -395,8 +409,9 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
         H=H,
         logwidth=logwidth,
         last_logwidth=last_logwidth,
-        logVolremaining=state.logVolremaining - 1.0 / K,
-        iteration=state.iteration + 1,
+        logVolremaining=state.logVolremaining
+        - jnp.where(active, 1.0 / K, 0.0),
+        iteration=state.iteration + active.astype(jnp.int32),
         stall_count=state.stall_count + (state.running & ~filled),
     )
     dead = DeadChunk(
@@ -406,6 +421,7 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
         logwidth=logwidth,
         running=state.running,
     )
+    state = device_termination(state, cfg, K)
     return (state, geom), dead
 
 
@@ -448,6 +464,11 @@ def run_chunk_inner(problem: Problem, state: EngineState, cfg: RunConfig,
 
 @functools.partial(jax.jit, static_argnames=("nlive",))
 def integrate_remainder(live_L, logZ, H, logwidth, Lmax, nlive: int):
+    """Jitted wrapper around :func:`remainder_core` (host/test entry)."""
+    return remainder_core(live_L, logZ, H, logwidth, Lmax, nlive)
+
+
+def remainder_core(live_L, logZ, H, logwidth, Lmax, nlive: int):
     """Vectorized remainder integration + termination criterion
     (reference ``integrate_remainder``, multi_nested_integrator.py:26-59).
 
@@ -488,15 +509,60 @@ def integrate_remainder(live_L, logZ, H, logwidth, Lmax, nlive: int):
     return logwidth + logLmid, logZerr, logZmid, totalZerr
 
 
+def resolve_stall_limit(cfg: RunConfig) -> int:
+    """Iterations a dataset may sit with an unfillable shelf before being
+    force-terminated (single source of truth for device + host diagnostics)."""
+    return cfg.stall_limit or 2 * max(cfg.check_every, 50)
+
+
+def device_termination(state: EngineState, cfg: RunConfig, nlive: int):
+    """On-device termination check (the reference host loop's check,
+    multi_nested_integrator.py:136-155) so a whole run needs only a few
+    host round trips.
+
+    Tolerance checks run every ``cfg.check_every`` iterations (reference
+    cadence: 50); the ``max_samples`` cap is enforced immediately.
+    Newly-terminated datasets freeze their remainder estimate
+    (``rem_logZ``/``rem_logZerr``, reference ``remainder_tails`` capture at
+    :149-151) and leave ``running`` (the ``cut_down`` equivalent). Their live
+    points are frozen by the running mask, so the posterior tail can be read
+    from ``live_idx`` once at the very end. Per-dataset termination state is
+    purely column-local, so this runs unchanged under a dataset-sharded mesh.
+    """
+    past_min = state.iteration > cfg.min_samples
+    if cfg.max_samples:
+        force_all = state.iteration > cfg.max_samples
+    else:
+        force_all = jnp.bool_(False)
+
+    def check(st):
+        remZ, remZerr, _totalZ, totalZerr = remainder_core(
+            st.live_L, st.logZ, st.H, st.logwidth, st.Lmax, nlive
+        )
+        newly = st.running & (totalZerr < cfg.tolerance) & past_min
+        newly = jnp.where(force_all, st.running, newly)
+        # force-terminate datasets the sampler cannot fill (diagnostic; the
+        # reference would spin forever here)
+        newly = newly | (st.running & (st.stall_count > resolve_stall_limit(cfg)))
+        return st._replace(
+            running=st.running & ~newly,
+            rem_logZ=jnp.where(st.running, remZ, st.rem_logZ),
+            rem_logZerr=jnp.where(st.running, remZerr, st.rem_logZerr),
+        )
+
+    if cfg.check_every <= 1:
+        return check(state)
+    at_check = (state.iteration % cfg.check_every) == 0
+    do = (at_check & past_min) | force_all
+    return jax.lax.cond(do, check, lambda st: st, state)
+
+
 @functools.partial(jax.jit, static_argnames=("nlive",))
 def chunk_report(state: EngineState, dead: DeadChunk, nlive: int):
     """Pack everything the host integrator reads per chunk into ONE flat f32
     array, so the device->host path is a single transfer (the per-fetch
     latency of a tunneled TPU dominates otherwise)."""
     T, D = dead.L.shape
-    remZ, remZerr, totalZ, totalZerr = integrate_remainder(
-        state.live_L, state.logZ, state.H, state.logwidth, state.Lmax, nlive
-    )
     ndraws = state.ndraws
     header = jnp.stack([
         state.iteration.astype(jnp.float32),
@@ -511,16 +577,21 @@ def chunk_report(state: EngineState, dead: DeadChunk, nlive: int):
     return jnp.concatenate([
         header,
         state.logZ, state.H, state.last_logwidth,
-        remZ, remZerr, totalZ, totalZerr,
+        state.rem_logZ, state.rem_logZerr,
+        state.running.astype(jnp.float32),
+        state.stall_count.astype(jnp.float32),
         dead.logwidth,
         dead.running.astype(jnp.float32).reshape(-1),
         dead.L.reshape(-1),
         dead.u.reshape(-1),
         dead.x.reshape(-1),
+        # live-point indices for the host's advisory group decomposition —
+        # exact in f32 (pile capacity << 2^24)
+        state.live_idx.astype(jnp.float32).reshape(-1),
     ])
 
 
-def parse_report(buf, T: int, D: int, ndim: int) -> dict:
+def parse_report(buf, T: int, D: int, ndim: int, nlive: int) -> dict:
     """Host-side unpack of chunk_report (numpy views, no copies)."""
     import numpy as np
 
@@ -532,10 +603,13 @@ def parse_report(buf, T: int, D: int, ndim: int) -> dict:
     out["pile_size"] = int(h[3])
     out["stall_max"] = int(h[4])
     out["member_overflow"] = int(h[5])
-    for name in ("logZ", "H", "last_logwidth", "remZ", "remZerr", "totalZ",
-                 "totalZerr"):
+    for name in ("logZ", "H", "last_logwidth", "rem_logZ", "rem_logZerr"):
         out[name] = buf[o:o + D].astype(np.float64)
         o += D
+    out["running_final"] = buf[o:o + D] > 0.5
+    o += D
+    out["stall_count"] = buf[o:o + D].astype(np.int64)
+    o += D
     out["logwidth"] = buf[o:o + T]
     o += T
     out["running"] = buf[o:o + T * D].reshape(T, D) > 0.5
@@ -545,19 +619,21 @@ def parse_report(buf, T: int, D: int, ndim: int) -> dict:
     out["u"] = buf[o:o + T * D * ndim].reshape(T, D, ndim)
     o += T * D * ndim
     out["x"] = buf[o:o + T * D * ndim].reshape(T, D, ndim)
+    o += T * D * ndim
+    out["live_idx"] = buf[o:o + nlive * D].reshape(nlive, D).astype(np.int32)
     return out
 
 
 @jax.jit
-def capture_tails(state: EngineState, cols):
-    """Sorted live points (ascending L) for the selected dataset columns —
-    the remainder tail saved at termination (multi_nested_integrator.py:
-    149-151, sampler ``remainder()``, multi_nested_sampler.py:536-562)."""
-    live_L = state.live_L[:, cols]           # [K, T]
-    live_idx = state.live_idx[:, cols]       # [K, T]
-    order = jnp.argsort(live_L, axis=0)
-    idx_sorted = jnp.take_along_axis(live_idx, order, axis=0)
-    L_sorted = jnp.take_along_axis(live_L, order, axis=0)
-    u = state.pile_u[idx_sorted]             # [K, T, ndim]
+def capture_tails(state: EngineState):
+    """Sorted live points (ascending L) for every dataset — the remainder
+    tail saved at termination (multi_nested_integrator.py:149-151, sampler
+    ``remainder()``, multi_nested_sampler.py:536-562). Terminated datasets'
+    live points are frozen by the running mask, so one capture at the end of
+    the run is exact for all of them."""
+    order = jnp.argsort(state.live_L, axis=0)
+    idx_sorted = jnp.take_along_axis(state.live_idx, order, axis=0)
+    L_sorted = jnp.take_along_axis(state.live_L, order, axis=0)
+    u = state.pile_u[idx_sorted]             # [K, D, ndim]
     x = state.pile_x[idx_sorted]
     return u, x, L_sorted

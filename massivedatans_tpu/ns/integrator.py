@@ -51,16 +51,6 @@ class NSResult:
     stats: dict
 
 
-def _pad_cols(cols: np.ndarray) -> np.ndarray:
-    """Pad a column-index list to a power-of-two length (repeat last entry) so
-    capture_tails compiles for O(log D) distinct shapes only."""
-    n = len(cols)
-    target = 1
-    while target < n:
-        target *= 2
-    return np.concatenate([cols, np.full(target - n, cols[-1], cols.dtype)])
-
-
 def compact_pile(state: EngineState) -> EngineState:
     """Drop pile entries no longer referenced by live points or shelves.
 
@@ -103,9 +93,17 @@ def multi_nested_integrator(
     checkpoint_every: int = 10,
 ) -> NSResult:
     cfg = cfg or RunConfig()
-    tolerance = cfg.tolerance if tolerance is None else tolerance
-    max_samples = cfg.max_samples if max_samples is None else max_samples
-    min_samples = cfg.min_samples if min_samples is None else min_samples
+    # termination parameters are baked into the jitted step (the check runs
+    # on-device, engine.device_termination), so fold overrides into cfg
+    overrides = {}
+    if tolerance is not None:
+        overrides["tolerance"] = tolerance
+    if max_samples is not None:
+        overrides["max_samples"] = max_samples
+    if min_samples is not None:
+        overrides["min_samples"] = min_samples
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
     if key is None:
         key = jax.random.key(cfg.seed)
 
@@ -132,13 +130,6 @@ def multi_nested_integrator(
     pile_cap = state.pile_u.shape[0]
 
     dead_u, dead_x, dead_L, dead_w, dead_mask = [], [], [], [], []
-    tails_u = np.zeros((K, D, ndim), np.float32)
-    tails_x = np.zeros((K, D, ndim), np.float32)
-    tails_L = np.full((K, D), -np.inf, np.float32)
-    tails_w = np.full((D,), -np.inf, np.float32)
-    last_remainderZ = np.zeros(D, np.float64)
-    last_remainderZerr = np.zeros(D, np.float64)
-    logZerr_running = np.zeros(D, np.float64)
     running = np.ones(D, bool)
     reporter = ProgressReporter(enabled=progress, ndata=D)
     chunk_index = 0
@@ -154,11 +145,6 @@ def multi_nested_integrator(
 
                 state = sharded_lib.shard_state(state, mesh)
             host = ckpt.load_host(checkpoint_dir)
-            tails_u, tails_x = host["tails_u"], host["tails_x"]
-            tails_L, tails_w = host["tails_L"], host["tails_w"]
-            last_remainderZ = host["last_remainderZ"]
-            last_remainderZerr = host["last_remainderZerr"]
-            logZerr_running = host["logZerr_running"]
             running = host["running"]
             meta = ckpt.load_meta(checkpoint_dir)
             chunk_index = int(meta["chunk_index"])
@@ -184,10 +170,12 @@ def multi_nested_integrator(
         state, dead = run(problem, state)
         t_c1 = time.time()
         # one packed device->host transfer per chunk: per-fetch latency on a
-        # tunneled TPU otherwise dominates the whole run
+        # tunneled TPU otherwise dominates the whole run. Termination itself
+        # runs on-device (engine.device_termination), so this loop only
+        # streams results and handles compaction/checkpoints/progress.
         buf = np.asarray(engine_lib.chunk_report(state, dead, K))
         t_c2 = time.time()
-        rep = engine_lib.parse_report(buf, cfg.chunk_iters, D, ndim)
+        rep = engine_lib.parse_report(buf, cfg.chunk_iters, D, ndim, K)
         d_run = rep["running"]
         dead_u.append(rep["u"])
         dead_x.append(rep["x"])
@@ -200,47 +188,24 @@ def multi_nested_integrator(
 
         it = rep["iteration"]
         final_logZ, final_H = rep["logZ"], rep["H"]
-        logZerr_running[running] = np.sqrt(
-            np.maximum(rep["H"][running], 0.0) / K
+        newly_done = running & ~rep["running_final"]
+        running = rep["running_final"].copy()
+        stalled_out = newly_done & (
+            rep["stall_count"] > engine_lib.resolve_stall_limit(cfg)
         )
-
-        # --- termination check (multi_nested_integrator.py:136-155) ---
-        check = it > min_samples or (max_samples and it > max_samples)
-        if check:
-            terminating = running & (rep["totalZerr"] < tolerance)
-            if max_samples and it > max_samples:
-                terminating = running.copy()
-            # force-terminate datasets the sampler cannot fill (diagnostic;
-            # the reference would spin forever here)
-            if rep["stall_max"] > 2 * cfg.chunk_iters:
-                stalls = np.asarray(state.stall_count)
-                stuck = running & (stalls > 2 * cfg.chunk_iters)
-                if stuck.any():
-                    log.warning(
-                        "force-terminating %d stalled datasets",
-                        int(stuck.sum()),
-                    )
-                    terminating |= stuck
-            if terminating.any():
-                cols = np.where(terminating)[0].astype(np.int32)
-                padded = _pad_cols(cols)
-                tu, tx, tL = engine_lib.capture_tails(state, jnp.asarray(padded))
-                ncols = len(cols)
-                tails_u[:, cols] = np.asarray(tu)[:, :ncols]
-                tails_x[:, cols] = np.asarray(tx)[:, :ncols]
-                tails_L[:, cols] = np.asarray(tL)[:, :ncols]
-                tails_w[cols] = rep["last_logwidth"][cols]
-                last_remainderZ[cols] = rep["remZ"][cols]
-                last_remainderZerr[cols] = rep["remZerr"][cols]
-                running &= ~terminating
-                state = state._replace(running=jnp.asarray(running))
-            reporter.update(
-                it=it,
-                ndraws=rep["ndraws"],
-                running=int(running.sum()),
-                logZ0=float(np.logaddexp(rep["logZ"][0], last_remainderZ[0]))
-                if D else 0.0,
+        if stalled_out.any():
+            log.warning(
+                "%d datasets force-terminated on device after stalling "
+                "(stall counts up to %d)", int(stalled_out.sum()),
+                int(rep["stall_count"][stalled_out].max()),
             )
+        reporter.update(
+            it=it,
+            ndraws=rep["ndraws"],
+            running=int(running.sum()),
+            logZ0=float(np.logaddexp(rep["logZ"][0], rep["rem_logZ"][0]))
+            if D else 0.0,
+        )
         if checkpoint_dir is not None:
             ckpt.save_chunk(checkpoint_dir, chunk_index - 1, dict(
                 u=dead_u[-1], x=dead_x[-1], L=dead_L[-1], w=dead_w[-1],
@@ -249,12 +214,7 @@ def multi_nested_integrator(
             if chunk_index % checkpoint_every == 0 or not running.any():
                 ckpt.save_state(
                     checkpoint_dir, state,
-                    host_ctx=dict(
-                        tails_u=tails_u, tails_x=tails_x, tails_L=tails_L,
-                        tails_w=tails_w, last_remainderZ=last_remainderZ,
-                        last_remainderZerr=last_remainderZerr,
-                        logZerr_running=logZerr_running, running=running,
-                    ),
+                    host_ctx=dict(running=running),
                     meta=dict(chunk_index=chunk_index, ndata=D,
                               nlive=K, iteration=it),
                 )
@@ -268,11 +228,12 @@ def multi_nested_integrator(
         t_c3 = time.time()
         if cfg.use_groups and D > 1:
             # advisory group decomposition for focused draws (ns/subsets.py);
-            # cheap at chunk cadence, replaces reference igraph clusters()
+            # cheap at chunk cadence, replaces reference igraph clusters();
+            # live_idx rides in the packed report, no extra device fetch
             from massivedatans_tpu.ns import subsets as subsets_lib
 
             labels, n_groups = subsets_lib.component_labels(
-                np.asarray(state.live_idx), selected=running, nlive_points=K
+                rep["live_idx"], selected=running, nlive_points=K
             )
             state = state._replace(
                 group_id=jnp.asarray(np.maximum(labels, 0), jnp.int32),
@@ -298,6 +259,9 @@ def multi_nested_integrator(
             pile_size=int(state.pile_size),
             stall_max=int(np.asarray(state.stall_count).max(initial=0)),
             member_overflow=int(state.member_overflow),
+            last_logwidth=np.asarray(state.last_logwidth, np.float64),
+            rem_logZ=np.asarray(state.rem_logZ, np.float64),
+            rem_logZerr=np.asarray(state.rem_logZerr, np.float64),
         )
         final_logZ = np.asarray(state.logZ, np.float64)
         final_H = np.asarray(state.H, np.float64)
@@ -307,6 +271,18 @@ def multi_nested_integrator(
             dead_L.append(np.zeros((0, D), np.float32))
             dead_w.append(np.zeros((0, D), np.float32))
             dead_mask.append(np.zeros((0, D), bool))
+
+    # Terminated datasets' live points are frozen by the running mask, so
+    # every posterior tail (multi_nested_sampler.py remainder(), integrator
+    # :149-151,163-171) is captured once here, in one device fetch.
+    tu, tx, tL = engine_lib.capture_tails(state)
+    tails_u = np.asarray(tu)
+    tails_x = np.asarray(tx)
+    tails_L = np.asarray(tL)
+    tails_w = rep["last_logwidth"].astype(np.float32)
+    last_remainderZ = rep["rem_logZ"]
+    last_remainderZerr = rep["rem_logZerr"]
+    logZerr_running = np.sqrt(np.maximum(final_H, 0.0) / K)
 
     niter = int(rep["iteration"])
     u = np.concatenate(dead_u, axis=0)[:niter]

@@ -53,6 +53,7 @@ def state_pspecs() -> EngineState:
         running=d, Lmax=d,
         logZ=d, H=d,
         logVolremaining=r, logwidth=r, last_logwidth=d,
+        rem_logZ=d, rem_logZerr=d,
         iteration=r, ndraws=r,
         prev_scale=r, prev_radius=r,
         group_id=d, n_groups=r,

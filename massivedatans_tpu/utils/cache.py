@@ -24,7 +24,7 @@ def enable_compilation_cache(path: str | None = None) -> bool:
         cache_dir = path or _DEFAULT_DIR
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         return True
     except Exception as e:  # older jax or read-only fs: non-fatal

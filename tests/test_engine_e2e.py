@@ -80,6 +80,25 @@ def test_result_schema(analytic_result):
     assert result.ndraws > 0
 
 
+def test_device_termination_max_samples_is_immediate():
+    """The on-device max_samples cap (engine.device_termination) fires within
+    one iteration of the cap, freezing the remainder estimate — unlike
+    tolerance checks, which run at the reference's every-50 cadence."""
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(0.3, 0.7, size=(4, 2))
+    problem = make_analytic_gaussian_problem(centers, sigma=0.05)
+    result = multi_nested_integrator(
+        problem, SMALL, key=jax.random.key(2), progress=False, max_samples=30
+    )
+    assert 30 <= result.niterations <= 31, result.niterations
+    assert np.isfinite(result.logZ).all()
+    assert (result.logZerr > 0).all()
+    # the remainder dominates a 30-iteration run; the total must still be a
+    # sane upper region of the evidence (not -inf / garbage)
+    lz_true = true_logZ(centers, sigma=0.05)
+    assert (np.abs(result.logZ - lz_true) < 25).all(), (result.logZ, lz_true)
+
+
 @pytest.mark.slow
 def test_nothing_suite_bayes_factors():
     """No-signal evidence calibration (plotevidences.py:17-36): logZ of the

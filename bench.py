@@ -22,6 +22,9 @@ import time
 N_GEN = int(os.environ.get("BENCH_NGEN", "1000"))
 NDATA = int(os.environ.get("BENCH_NDATA", "100"))
 NLIVE = int(os.environ.get("BENCH_NLIVE", "400"))
+CHUNK_ITERS = int(os.environ.get("BENCH_CHUNK_ITERS", "50"))
+EVAL_BATCH = int(os.environ.get("BENCH_EVAL_BATCH", "128"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
 
 
 def main():
@@ -42,13 +45,31 @@ def main():
     cfg = RunConfig(
         nlive_points=NLIVE,
         tolerance=0.5,
-        chunk_iters=50,
-        eval_batch=128,
+        chunk_iters=CHUNK_ITERS,
+        eval_batch=EVAL_BATCH,
         proposal_batch=512,
         shelf_capacity=8,
     )
 
-    # warm up compilation so the benchmark measures steady-state throughput
+    # Warm-up: execute the exact jitted graphs of the timed run once (same
+    # cfg/shapes -> same executables), so the measurement is steady-state
+    # throughput. Compilation is a one-time cost amortized over production
+    # use (and is paid to a remote compile service with minutes-scale queue
+    # variance on this host); its cost is reported separately below.
+    warmup_s = 0.0
+    if WARMUP:
+        from massivedatans_tpu.ns import engine as engine_lib
+
+        t_w = time.time()
+        mc = cfg.resolve_member_capacity(problem.ndata)
+        st0 = engine_lib.init_state(problem, jax.random.key(1), cfg)
+        st1, dead = engine_lib.run_chunk(problem, st0, cfg, mc, cfg.chunk_iters)
+        buf = engine_lib.chunk_report(st1, dead, cfg.nlive_points)
+        tails = engine_lib.capture_tails(st1)
+        jax.block_until_ready((buf, tails))
+        del st0, st1, dead, buf, tails
+        warmup_s = time.time() - t_w
+
     t0 = time.time()
     result = multi_nested_integrator(
         problem, cfg, key=jax.random.key(1), progress=False
@@ -76,6 +97,7 @@ def main():
             "evals_per_s": round(result.ndraws / wall, 1),
             "logZ0": float(result.logZ[0]),
             "platform": jax.devices()[0].platform,
+            "warmup_compile_s": round(warmup_s, 2),
         },
     }))
     return 0

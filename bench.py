@@ -22,7 +22,10 @@ import time
 N_GEN = int(os.environ.get("BENCH_NGEN", "1000"))
 NDATA = int(os.environ.get("BENCH_NDATA", "100"))
 NLIVE = int(os.environ.get("BENCH_NLIVE", "400"))
-CHUNK_ITERS = int(os.environ.get("BENCH_CHUNK_ITERS", "50"))
+# 200 iterations per device dispatch: the tunneled TPU's per-dispatch
+# round-trip latency is the dominant and highly variable cost on this host,
+# so fewer/larger chunks win in every observed latency regime
+CHUNK_ITERS = int(os.environ.get("BENCH_CHUNK_ITERS", "200"))
 EVAL_BATCH = int(os.environ.get("BENCH_EVAL_BATCH", "128"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
 

@@ -51,7 +51,11 @@ def cmd_fit(args):
     problem = make_gaussline_problem(x, y, noise_level=args.noise_level)
     print(f"fitting {problem.ndata} datasets, nlive={cfg.nlive_points}, "
           f"constrainer={cfg.constrainer}", file=sys.stderr)
-    result = multi_nested_integrator(problem, cfg, progress=not args.quiet)
+    result = multi_nested_integrator(
+        problem, cfg, progress=not args.quiet,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+    )
     prefix = output_prefix(args.data, cfg.constrainer, cfg.nlive_points,
                            problem.ndata)
     write_results(prefix, result)
@@ -111,6 +115,11 @@ def main(argv=None):
     f.add_argument("--constrainer", default=None)
     f.add_argument("--noise-level", type=float, default=0.01)
     f.add_argument("--quiet", action="store_true")
+    f.add_argument("--checkpoint-dir", default=None,
+                   help="persist sampler state here and resume from it "
+                        "(new capability; the reference loses a crashed run)")
+    f.add_argument("--checkpoint-every", type=int, default=10,
+                   help="chunks between state checkpoints")
     f.set_defaults(fn=cmd_fit)
 
     c = sub.add_parser("check", help="summarize output files (checkoutput.py)")

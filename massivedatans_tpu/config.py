@@ -78,11 +78,27 @@ class RunConfig:
 
     def resolve_pile_capacity(self, ndata: int) -> int:
         if self.pile_capacity:
-            return self.pile_capacity
-        # Live points + shelves are the only live references; dead points are
-        # streamed out per chunk. Compaction keeps us under this cap.
-        cap = self.nlive_points * 8 + self.shelf_capacity * min(ndata, 4096) + 65536
-        return _round_up(cap, 1024)
+            cap = self.pile_capacity
+        else:
+            # Dead-point coordinates are reconstructed from the pile
+            # host-side, so the pile should comfortably hold every accepted
+            # point of a run between (rare) compactions. HBM cost is trivial:
+            # 2^18 rows x ndim floats x 2 arrays ~ 6 MB at ndim=3.
+            cap = max(
+                262144,
+                self.nlive_points * 8
+                + self.shelf_capacity * min(ndata, 4096)
+                + 65536,
+            )
+        cap = _round_up(cap, 1024)
+        # pile indices ride device->host reports as exact float32
+        # (engine.chunk_report); beyond 2^24 that round-trip loses bits
+        if cap >= 1 << 24:
+            raise ValueError(
+                f"pile_capacity {cap} >= 2^24 would break exact f32 "
+                "index transport; shard datasets instead"
+            )
+        return cap
 
 
 def _round_up(x: int, m: int) -> int:

@@ -73,10 +73,16 @@ class EngineState(NamedTuple):
 
 
 class DeadChunk(NamedTuple):
-    """Per-iteration dead points streamed back to the host integrator."""
+    """Per-iteration dead points streamed back to the host integrator.
 
-    u: jax.Array         # [T, D, ndim]
-    x: jax.Array         # [T, D, ndim]
+    Coordinates are NOT streamed: ``idx`` references the (replicated) point
+    pile, and the host reconstructs ``u``/``x`` from a single pile snapshot
+    fetched at compaction boundaries / end of run — at 10^4 datasets the
+    per-chunk transfer would otherwise be dominated by redundant coordinate
+    copies (every dataset's dead point is some shared pile row).
+    """
+
+    idx: jax.Array       # [T, D] int32 pile rows (-1 where not advanced)
     L: jax.Array         # [T, D] (-inf where not advanced)
     logwidth: jax.Array  # [T]
     running: jax.Array   # [T, D]
@@ -375,8 +381,6 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
     worst = jnp.argmin(state.live_L, axis=0)  # [D]
     dead_p = state.live_idx[worst, cols]
     dead_L = state.live_L[worst, cols]
-    dead_u = state.pile_u[dead_p]
-    dead_x = state.pile_x[dead_p]
 
     head_idx, head_L, shelves = shelves_lib.pop(state.shelves, adv)
     live_idx = state.live_idx.at[worst, cols].set(
@@ -415,8 +419,7 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
         stall_count=state.stall_count + (state.running & ~filled),
     )
     dead = DeadChunk(
-        u=jnp.where(adv[:, None], dead_u, 0.0),
-        x=jnp.where(adv[:, None], dead_x, 0.0),
+        idx=jnp.where(adv, dead_p, -1),
         L=jnp.where(adv, dead_L, _NEG_INF),
         logwidth=logwidth,
         running=state.running,
@@ -583,15 +586,14 @@ def chunk_report(state: EngineState, dead: DeadChunk, nlive: int):
         dead.logwidth,
         dead.running.astype(jnp.float32).reshape(-1),
         dead.L.reshape(-1),
-        dead.u.reshape(-1),
-        dead.x.reshape(-1),
-        # live-point indices for the host's advisory group decomposition —
-        # exact in f32 (pile capacity << 2^24)
+        # pile indices are exact in f32 (pile capacity << 2^24)
+        dead.idx.astype(jnp.float32).reshape(-1),
+        # live-point indices for the host's advisory group decomposition
         state.live_idx.astype(jnp.float32).reshape(-1),
     ])
 
 
-def parse_report(buf, T: int, D: int, ndim: int, nlive: int) -> dict:
+def parse_report(buf, T: int, D: int, nlive: int) -> dict:
     """Host-side unpack of chunk_report (numpy views, no copies)."""
     import numpy as np
 
@@ -616,10 +618,8 @@ def parse_report(buf, T: int, D: int, ndim: int, nlive: int) -> dict:
     o += T * D
     out["L"] = buf[o:o + T * D].reshape(T, D)
     o += T * D
-    out["u"] = buf[o:o + T * D * ndim].reshape(T, D, ndim)
-    o += T * D * ndim
-    out["x"] = buf[o:o + T * D * ndim].reshape(T, D, ndim)
-    o += T * D * ndim
+    out["idx"] = buf[o:o + T * D].reshape(T, D).astype(np.int32)
+    o += T * D
     out["live_idx"] = buf[o:o + nlive * D].reshape(nlive, D).astype(np.int32)
     return out
 

@@ -130,9 +130,31 @@ def multi_nested_integrator(
     pile_cap = state.pile_u.shape[0]
 
     dead_u, dead_x, dead_L, dead_w, dead_mask = [], [], [], [], []
+    # dead-point coordinates are reconstructed host-side from pile snapshots
+    # (chunks stream pile *indices* only — see engine.DeadChunk); pending
+    # index chunks are flushed before any event that invalidates indices
+    # (pile compaction) and at end of run
+    pending_idx = []
+
+    def resolve_pending(st):
+        if not pending_idx:
+            return
+        pile_u = np.asarray(st.pile_u)
+        pile_x = np.asarray(st.pile_x)
+        for idx in pending_idx:
+            safe = np.maximum(idx, 0)
+            u = pile_u[safe]
+            x = pile_x[safe]
+            u[idx < 0] = 0.0
+            x[idx < 0] = 0.0
+            dead_u.append(u)
+            dead_x.append(x)
+        pending_idx.clear()
+
     running = np.ones(D, bool)
     reporter = ProgressReporter(enabled=progress, ndata=D)
     chunk_index = 0
+    saved_chunks = 0
 
     if checkpoint_dir is not None:
         from massivedatans_tpu.io import checkpoint as ckpt
@@ -148,6 +170,7 @@ def multi_nested_integrator(
             running = host["running"]
             meta = ckpt.load_meta(checkpoint_dir)
             chunk_index = int(meta["chunk_index"])
+            saved_chunks = chunk_index
             for c in ckpt.load_chunks(checkpoint_dir)[:chunk_index]:
                 dead_u.append(c["u"]); dead_x.append(c["x"])
                 dead_L.append(c["L"]); dead_w.append(c["w"])
@@ -175,10 +198,9 @@ def multi_nested_integrator(
         # streams results and handles compaction/checkpoints/progress.
         buf = np.asarray(engine_lib.chunk_report(state, dead, K))
         t_c2 = time.time()
-        rep = engine_lib.parse_report(buf, cfg.chunk_iters, D, ndim, K)
+        rep = engine_lib.parse_report(buf, cfg.chunk_iters, D, K)
         d_run = rep["running"]
-        dead_u.append(rep["u"])
-        dead_x.append(rep["x"])
+        pending_idx.append(rep["idx"])
         dead_L.append(rep["L"])
         dead_w.append(
             np.where(d_run, rep["logwidth"][:, None], -np.inf).astype(np.float32)
@@ -206,21 +228,31 @@ def multi_nested_integrator(
             logZ0=float(np.logaddexp(rep["logZ"][0], rep["rem_logZ"][0]))
             if D else 0.0,
         )
-        if checkpoint_dir is not None:
-            ckpt.save_chunk(checkpoint_dir, chunk_index - 1, dict(
-                u=dead_u[-1], x=dead_x[-1], L=dead_L[-1], w=dead_w[-1],
-                mask=dead_mask[-1],
-            ))
-            if chunk_index % checkpoint_every == 0 or not running.any():
-                ckpt.save_state(
-                    checkpoint_dir, state,
-                    host_ctx=dict(running=running),
-                    meta=dict(chunk_index=chunk_index, ndata=D,
-                              nlive=K, iteration=it),
-                )
+        if checkpoint_dir is not None and (
+            chunk_index % checkpoint_every == 0 or not running.any()
+        ):
+            # chunk files persist coordinates, so pending indices are
+            # resolved (one pile fetch) only at checkpoint cadence — resume
+            # reads exactly the chunks up to meta's chunk_index, so files
+            # written in batches here are equivalent to per-chunk writes
+            resolve_pending(state)
+            while saved_chunks < chunk_index:
+                ckpt.save_chunk(checkpoint_dir, saved_chunks, dict(
+                    u=dead_u[saved_chunks], x=dead_x[saved_chunks],
+                    L=dead_L[saved_chunks], w=dead_w[saved_chunks],
+                    mask=dead_mask[saved_chunks],
+                ))
+                saved_chunks += 1
+            ckpt.save_state(
+                checkpoint_dir, state,
+                host_ctx=dict(running=running),
+                meta=dict(chunk_index=chunk_index, ndata=D,
+                          nlive=K, iteration=it),
+            )
         if not running.any():
             break
         if rep["pile_size"] > 0.85 * pile_cap:
+            resolve_pending(state)  # indices reference the pre-compaction pile
             state = compact_pile(state)
         if profile_dir and chunk_index == profile_chunks:
             jax.profiler.stop_trace()
@@ -271,6 +303,8 @@ def multi_nested_integrator(
             dead_L.append(np.zeros((0, D), np.float32))
             dead_w.append(np.zeros((0, D), np.float32))
             dead_mask.append(np.zeros((0, D), bool))
+
+    resolve_pending(state)
 
     # Terminated datasets' live points are frozen by the running mask, so
     # every posterior tail (multi_nested_sampler.py remainder(), integrator

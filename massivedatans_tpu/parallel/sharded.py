@@ -63,8 +63,7 @@ def state_pspecs() -> EngineState:
 
 def dead_pspecs() -> DeadChunk:
     return DeadChunk(
-        u=P(None, DATA_AXIS, None),
-        x=P(None, DATA_AXIS, None),
+        idx=P(None, DATA_AXIS),
         L=P(None, DATA_AXIS),
         logwidth=P(),
         running=P(None, DATA_AXIS),

@@ -247,6 +247,127 @@ def make_slice(cfg: RunConfig, nsteps: int | None = None,
     return Strategy(build, init_chains, propose, observe, refresh)
 
 
+# --------------------------------------------------------------------------
+# Galilean / adaptive random-walk MCMC (whitenedmcmc.py:44-124)
+# --------------------------------------------------------------------------
+
+class WalkGeom(NamedTuple):
+    members_u: jax.Array    # [M, ndim] chain restart points (live points)
+    member_mask: jax.Array  # [M]
+    metric: region_lib.Metric
+
+
+class WalkChains(NamedTuple):
+    u: jax.Array        # [C, ndim] current chain positions
+    v: jax.Array        # [C, ndim] unit velocity (whitened-metric direction)
+    eps: jax.Array      # [C] step scale (unit-cube units)
+    steps: jax.Array    # [C] accepted steps since restart
+    rejects: jax.Array  # [C] consecutive rejections
+
+
+def _reflect_cube(u):
+    """Fold positions back into (0,1)^ndim by mirror reflection at the walls
+    (period-2 triangle wave), the Galilean treatment of the prior boundary."""
+    r = jnp.abs(jnp.mod(u, 2.0))
+    r = jnp.where(r > 1.0, 2.0 - r, r)
+    return jnp.clip(r, 1e-7, 1.0 - 1e-7)
+
+
+def make_galilean(cfg: RunConfig, nsteps: int | None = None) -> Strategy:
+    """Batched Galilean-style MCMC: C = eval_batch parallel chains coast with
+    a persistent velocity; rejection reverses the velocity (Skilling's
+    gradient-free Galilean move), repeated rejection resamples it.
+
+    Covers the reference's random-walk proposal family
+    (``BaseProposal`` Sivia-style step-scale adaptation, whitenedmcmc.py:
+    44-96, and the DNest ``MultiScaleProposal``, whitenedmcmc.py:98-124):
+    the per-chain ``eps`` grows on acceptance and shrinks on rejection, so
+    the chain population spans many step scales at once. Every proposal is
+    scored against all datasets by the engine's shared matmul; a proposal
+    counts as accepted when it beats *any* running dataset's constraint
+    (the reference's accept rule, whitenedmcmc.py:305).
+    """
+    C = cfg.eval_batch
+    grow = jnp.float32(jnp.exp(0.12))    # Sivia-style asymmetric adaptation
+    shrink = jnp.float32(jnp.exp(-0.3))  # targets ~70% acceptance
+
+    def build(members_u, member_mask, key, prev_scale, prev_radius):
+        metric = region_lib.fit_metric(
+            members_u, member_mask, cfg.metriclearner
+        )
+        return WalkGeom(members_u=members_u, member_mask=member_mask,
+                        metric=metric)
+
+    def _restart_points(geom, key, n):
+        logits = jnp.where(geom.member_mask, 0.0, _NEG_BIG)
+        pick = jax.random.categorical(key, logits, shape=(n,))
+        return geom.members_u[pick]
+
+    def _new_velocity(geom, key, n):
+        d = jax.random.normal(key, (n, geom.members_u.shape[1]))
+        d = d * geom.metric.scale[None, :]
+        return d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    def init_chains(geom, key):
+        k1, k2 = jax.random.split(key)
+        u0 = _restart_points(geom, k1, C)
+        v0 = _new_velocity(geom, k2, C)
+        # initial step ~ half the live-point cloud's metric scale; the
+        # multiplicative adaptation reaches any useful scale within a few
+        # fill rounds (whitenedmcmc.py:60-77 semantics)
+        ndim = geom.members_u.shape[1]
+        eps0 = 0.5 * jnp.linalg.norm(geom.metric.scale) / jnp.sqrt(
+            jnp.float32(ndim)
+        )
+        return WalkChains(
+            u=u0, v=v0,
+            eps=jnp.full((C,), eps0, jnp.float32),
+            steps=jnp.zeros((C,), jnp.int32),
+            rejects=jnp.zeros((C,), jnp.int32),
+        )
+
+    def propose(geom, sstate, key):
+        cand = _reflect_cube(sstate.u + sstate.eps[:, None] * sstate.v)
+        ndim = cand.shape[1]
+        burn = (2 * ndim) if nsteps is None else nsteps
+        valid = sstate.steps >= burn
+        return cand, valid, sstate
+
+    def observe(sstate, cand_u, chain_accept):
+        new_u = jnp.where(chain_accept[:, None], cand_u, sstate.u)
+        eps = jnp.clip(
+            sstate.eps * jnp.where(chain_accept, grow, shrink), 1e-6, 0.5
+        )
+        return sstate._replace(
+            u=new_u,
+            eps=eps,
+            steps=sstate.steps + chain_accept.astype(jnp.int32),
+            rejects=jnp.where(chain_accept, 0, sstate.rejects + 1),
+        )
+
+    def refresh(geom, sstate, key, chain_accept):
+        ndim = geom.members_u.shape[1]
+        k_vel, k_restart = jax.random.split(key)
+        # Galilean move: first rejection reverses the velocity (coast back
+        # into the constraint); persistent rejection resamples it
+        v_new = _new_velocity(geom, k_vel, C)
+        v = jnp.where(
+            (sstate.rejects >= 2)[:, None], v_new,
+            jnp.where((sstate.rejects == 1)[:, None], -sstate.v, sstate.v),
+        )
+        burn = 2 * ndim
+        restart = sstate.steps >= (burn + 8)
+        u_r = _restart_points(geom, k_restart, C)
+        return sstate._replace(
+            u=jnp.where(restart[:, None], u_r, sstate.u),
+            v=jnp.where(restart[:, None], v_new, v),
+            steps=jnp.where(restart, 0, sstate.steps),
+            rejects=jnp.where(restart, 0, sstate.rejects),
+        )
+
+    return Strategy(build, init_chains, propose, observe, refresh)
+
+
 def make_strategy(cfg: RunConfig) -> Strategy:
     """Resolve cfg.constrainer (reference CONSTRAINER env, sample.py:131)."""
     name = cfg.constrainer.upper()
@@ -256,4 +377,6 @@ def make_strategy(cfg: RunConfig) -> Strategy:
         return make_multiellipsoids(cfg)
     if name == "SLICE":
         return make_slice(cfg)
+    if name in ("GALILEAN", "MCMC"):
+        return make_galilean(cfg)
     raise ValueError(f"unknown constrainer {cfg.constrainer!r}")

@@ -141,6 +141,21 @@ def main(argv=None):
     m.add_argument("--out", default=None)
     m.set_defaults(fn=cmd_musefit)
 
+    r = sub.add_parser(
+        "refine",
+        help="gradient-based refinement/cross-check of an NS run: batched "
+             "per-dataset HMC posteriors and/or mean-field VI evidences "
+             "(new capability; the reference is gradient-free)")
+    r.add_argument("data")
+    r.add_argument("output", help="the fit's .out8.hdf5 (seeds the chains)")
+    r.add_argument("--backend", default="both", choices=["hmc", "vi", "both"])
+    r.add_argument("--num-warmup", type=int, default=300)
+    r.add_argument("--num-samples", type=int, default=300)
+    r.add_argument("--vi-steps", type=int, default=1500)
+    r.add_argument("--noise-level", type=float, default=0.01)
+    r.add_argument("--max-datasets", type=int, default=4)
+    r.set_defaults(fn=cmd_refine)
+
     pe = sub.add_parser("plot-evidences",
                         help="Bayes factors vs no-signal (plotevidences.py)")
     pe.add_argument("data")
@@ -175,6 +190,55 @@ def cmd_musefit(args):
     )
     print("logZ = %.1f +- %.1f" % (result.logZ[0], result.logZerr[0]))
     print("ndraws:", result.ndraws)
+
+
+def cmd_refine(args):
+    import jax
+
+    from massivedatans_tpu.io.hdf5io import load_spectra, read_results
+    from massivedatans_tpu.models.gaussline import make_gaussline_problem
+
+    out = read_results(args.output)
+    D = out["logZ"].shape[0]
+    x_grid, y = load_spectra(args.data, D)
+    problem = make_gaussline_problem(x_grid, y, noise_level=args.noise_level)
+
+    # seed each dataset's chain from one resampled NS posterior point
+    w = (out["w"] + out["L"]).astype(np.float64)
+    w[~np.isfinite(w)] = -np.inf
+    rng = np.random.default_rng(0)
+    init_u = np.empty((D, problem.ndim), np.float32)
+    for d in range(D):
+        p = np.exp(w[:, d] - w[:, d].max())
+        p /= p.sum()
+        init_u[d] = out["u"][rng.choice(len(p), p=p), d, :]
+
+    if args.backend in ("hmc", "both"):
+        from massivedatans_tpu.infer import run_hmc
+
+        res = run_hmc(problem, jax.random.key(0), init_u=init_u,
+                      num_warmup=args.num_warmup,
+                      num_samples=args.num_samples)
+        print(f"HMC: mean accept {float(np.mean(res.accept_rate)):.2f}")
+        xs = np.asarray(res.x)
+        for d in range(min(D, args.max_datasets)):
+            stats = "  ".join(
+                f"p{j}={xs[:, d, j].mean():.3f}+-{xs[:, d, j].std():.3f}"
+                for j in range(problem.ndim))
+            print(f"  dataset {d}: {stats}")
+    if args.backend in ("vi", "both"):
+        from massivedatans_tpu.infer import run_vi
+
+        res = run_vi(problem, jax.random.key(1), init_u=init_u,
+                     steps=args.vi_steps)
+        iw = np.asarray(res.logZ_iw)
+        dns = iw - out["logZ"]
+        print(f"VI: median |logZ_IW - logZ_NS| = "
+              f"{float(np.median(np.abs(dns))):.2f} "
+              f"(NS MC error ~{float(np.median(out['logZerr'])):.2f})")
+        for d in range(min(D, args.max_datasets)):
+            print(f"  dataset {d}: logZ_IW={iw[d]:.2f}  "
+                  f"logZ_NS={out['logZ'][d]:.2f}+-{out['logZerr'][d]:.2f}")
 
 
 def cmd_plot_evidences(args):

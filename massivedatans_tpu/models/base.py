@@ -40,9 +40,27 @@ class Problem:
     ndim: int = dataclasses.field(metadata=dict(static=True))
     ndata: int = dataclasses.field(metadata=dict(static=True))
     name: str = dataclasses.field(default="problem", metadata=dict(static=True))
+    # optional fast path ``loglike_paired_fn(data, x[D, ndim]) -> L[D]``:
+    # dataset d scored against ITS OWN parameter vector x[d]. Used by the
+    # per-dataset gradient backends (infer/), which need one likelihood per
+    # dataset rather than the NS engine's full [B, D] fan-out.
+    loglike_paired_fn: Any = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     def loglike(self, x_batch):
         return self.loglike_batch(self.data, x_batch)
+
+    def loglike_paired(self, x):
+        """``L[d] = loglike(x[d])[d]`` for ``x[D, ndim]``.
+
+        Falls back to the full ``[D, D]`` cross-evaluation diagonal when no
+        model-specific paired kernel is registered — fine for D up to a few
+        thousand, O(D^2) beyond.
+        """
+        if self.loglike_paired_fn is not None:
+            return self.loglike_paired_fn(self.data, x)
+        return jax.numpy.diagonal(self.loglike_batch(self.data, x))
 
     def transform_batch(self, u_batch):
         return jax.vmap(self.prior_transform)(u_batch)

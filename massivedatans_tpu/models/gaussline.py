@@ -62,6 +62,18 @@ def chi2_loglike_batch(data: GaussLineData, x_batch):
     return -0.5 * chi2 * inv_var
 
 
+def chi2_loglike_paired(data: GaussLineData, x):
+    """``L[d]`` of dataset d under its own parameter vector ``x[d]`` —
+    O(D * nx) (one curve per dataset), for the gradient backends (infer/)."""
+    ypred = jax.vmap(lambda p: gaussline_predict(data.x, p))(x)  # [D, nx]
+    cross = jnp.einsum(
+        "dn,nd->d", ypred, data.y, precision=jax.lax.Precision.HIGHEST
+    )
+    ssp = jnp.sum(jnp.square(ypred), axis=1)
+    chi2 = ssp - 2.0 * cross + data.ysq
+    return -0.5 * chi2 / jnp.square(data.noise_level)
+
+
 def make_gaussline_problem(x_grid, y, noise_level=0.01) -> Problem:
     """Build the line-fit problem from a ``[nx]`` grid and ``[nx, D]`` spectra."""
     import numpy as np
@@ -82,4 +94,5 @@ def make_gaussline_problem(x_grid, y, noise_level=0.01) -> Problem:
         ndim=3,
         ndata=ndata,
         name="gaussline",
+        loglike_paired_fn=chi2_loglike_paired,
     )

@@ -74,6 +74,12 @@ class RunConfig:
         # During the superset phase fewer than 2*nlive unique points exist
         # whenever datasets are still coupled (multi_nested_sampler.py:218-224).
         cap = max(2 * self.nlive_points, 256)
+        # at many datasets the late-run live-point union fans out well past
+        # 2*nlive once datasets decouple (member_overflow diagnostics at
+        # N=10^4); focused per-group rebuilds keep correctness either way,
+        # but a roomier superset region wastes fewer proposals
+        if ndata > 1024:
+            cap = max(cap, 4 * self.nlive_points)
         return _round_up(cap, 128)
 
     def resolve_pile_capacity(self, ndata: int) -> int:

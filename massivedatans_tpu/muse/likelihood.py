@@ -57,6 +57,20 @@ def scaled_loglike_batch(data: MuseLikeData, x_batch):
     return jnp.where(dead[:, None], -1e100, L)
 
 
+def scaled_loglike_paired(data: MuseLikeData, x):
+    """``L[d]`` of spaxel d under its own parameter vector ``x[d]`` —
+    O(D * nspec) (one synthesis + reduction per spaxel), for the gradient
+    backends (infer/)."""
+    ypred = predict_batch(data.md, x, zsol=data.zsol)  # [D, nspec]
+    s1 = jnp.einsum("dn,nd->d", ypred, data.y_over_v, precision=_PREC)
+    s2 = jnp.einsum("dn,nd->d", jnp.square(ypred), data.inv_v,
+                    precision=_PREC) + 1e-10
+    s = s1 / s2
+    chi2 = data.yy - 2.0 * s * s1 + jnp.square(s) * s2
+    dead = jnp.all(ypred == 0.0, axis=1)
+    return jnp.where(dead, -1e100, -0.5 * chi2)
+
+
 def make_muse_problem(md: MuseModelData, y, var, zsol: bool = False,
                       name: str = "muse") -> Problem:
     """Build the MUSE Problem from [nspec, D] flux and variance arrays."""
@@ -90,4 +104,5 @@ def make_muse_problem(md: MuseModelData, y, var, zsol: bool = False,
         ndim=ndim,
         ndata=int(y64.shape[1]),
         name=name,
+        loglike_paired_fn=scaled_loglike_paired,
     )

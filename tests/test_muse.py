@@ -115,6 +115,21 @@ def test_scaled_likelihood_matches_nansum_oracle(tpl_files):
     assert compared >= 3, compared
 
 
+def test_muse_paired_matches_batch_diagonal(tpl_files):
+    rng = np.random.default_rng(5)
+    md = load_template_grid(tpl_files, zlo=0.0, zhi=0.5)
+    nspec = int(md.data_wl.shape[0])
+    D = 6
+    y = rng.normal(1.0, 0.1, size=(nspec, D))
+    var = np.full((nspec, D), 0.01)
+    problem = make_muse_problem(md, y, var)
+    u = jnp.asarray(rng.uniform(0.1, 0.9, (D, 5)), jnp.float32)
+    x = problem.transform_batch(u)
+    paired = np.asarray(problem.loglike_paired(x))
+    full = np.asarray(problem.loglike(x))
+    np.testing.assert_allclose(paired, np.diagonal(full), rtol=1e-4)
+
+
 def test_fits_roundtrip_and_region(tmp_path):
     arr = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
     path = str(tmp_path / "t.fits")

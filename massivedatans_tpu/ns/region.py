@@ -19,6 +19,7 @@ validity mask, so regions can live inside ``jit``/``scan``/``while_loop``.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -26,6 +27,24 @@ import jax.numpy as jnp
 
 _NEG_BIG = -1e30
 _POS_BIG = 1e30
+
+
+def _use_pallas() -> bool:
+    """Resolve the region-kernel backend at trace time.
+
+    ``MDT_REGION_BACKEND`` ∈ {auto, jnp, pallas}; ``auto`` (default) selects
+    the fused Pallas kernels (ops/pallas_neighbors.py) on TPU and the
+    XLA-matmul forms elsewhere. Both are oracle-tested for equivalence.
+    """
+    mode = os.environ.get("MDT_REGION_BACKEND", "auto")
+    if mode == "jnp":
+        return False
+    if mode == "pallas":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 class Metric(NamedTuple):
@@ -85,31 +104,46 @@ def pairwise_sqdist(a, b, precision=jax.lax.Precision.HIGHEST):
     return jnp.maximum(ssa[:, None] - 2.0 * cross + ssb[None, :], 0.0)
 
 
+def bootstrap_inbag_rounds(mask, key, nbootstraps: int) -> jax.Array:
+    """[nb, M] in-bag flags: each round draws n members with replacement
+    (``neighbors.py:170-177`` builds the same matrix host-side)."""
+    M = mask.shape[0]
+    n = mask.sum().astype(jnp.int32)
+    logits = jnp.where(mask, 0.0, _NEG_BIG)
+    draw_valid = jnp.arange(M) < n  # exactly n draws per round
+
+    def one(k):
+        choice = jax.random.categorical(k, logits, shape=(M,))  # uniform over valid
+        hits = jnp.zeros((M,), jnp.int32).at[choice].add(draw_valid.astype(jnp.int32))
+        return hits > 0
+
+    return jax.vmap(one)(jax.random.split(key, nbootstraps))
+
+
 def bootstrapped_sq_radius(w, mask, key, nbootstraps: int) -> jax.Array:
     """Squared RadFriends radius: max over bootstrap rounds of the largest
     nearest-in-bag distance of any out-of-bag member.
 
     Mirrors ``cneighbors.c:125-179`` / ``neighbors.py:211-238``: each round
     draws n samples with replacement; points never drawn are out-of-bag and
-    must be covered by a ball around some in-bag point.
+    must be covered by a ball around some in-bag point. The bag draws are
+    shared between backends, so jnp and Pallas produce identical radii.
     """
-    M = w.shape[0]
-    n = mask.sum().astype(jnp.int32)
-    d2 = pairwise_sqdist(w, w)  # [M, M]; shared by all bootstrap rounds
-    logits = jnp.where(mask, 0.0, _NEG_BIG)
-    draw_valid = jnp.arange(M) < n  # exactly n draws per round
+    inbag = bootstrap_inbag_rounds(mask, key, nbootstraps)
+    if _use_pallas():
+        from massivedatans_tpu.ops.pallas_neighbors import (
+            bootstrapped_sq_radius_pallas,
+        )
 
-    def one_round(k):
-        choice = jax.random.categorical(k, logits, shape=(M,))  # uniform over valid
-        hits = jnp.zeros((M,), jnp.int32).at[choice].add(draw_valid.astype(jnp.int32))
-        inbag = hits > 0
-        oob = mask & ~inbag
-        nearest = jnp.min(jnp.where(inbag[None, :], d2, _POS_BIG), axis=1)  # [M]
+        return bootstrapped_sq_radius_pallas(w, mask, inbag)
+    d2 = pairwise_sqdist(w, w)  # [M, M]; shared by all bootstrap rounds
+
+    def one_round(inbag_b):
+        oob = mask & ~inbag_b
+        nearest = jnp.min(jnp.where(inbag_b[None, :], d2, _POS_BIG), axis=1)
         return jnp.max(jnp.where(oob, nearest, 0.0))
 
-    keys = jax.random.split(key, nbootstraps)
-    r2 = jax.vmap(one_round)(keys)
-    return jnp.max(r2)
+    return jnp.max(jax.vmap(one_round)(inbag))
 
 
 def build_region(
@@ -152,6 +186,12 @@ def build_region(
 
 def count_within(region: Region, w_points) -> jax.Array:
     """Number of member balls containing each point (cneighbors.c:95-119)."""
+    if _use_pallas():
+        from massivedatans_tpu.ops.pallas_neighbors import count_within_pallas
+
+        return count_within_pallas(
+            region.members_w, region.member_mask, w_points, region.radius
+        )
     d2 = pairwise_sqdist(w_points, region.members_w)  # [N, M]
     near = (d2 < jnp.square(region.radius)) & region.member_mask[None, :]
     return near.sum(axis=1)

@@ -8,8 +8,9 @@ computation with the compare/reduce so the [N, M] distance matrix never
 round-trips through HBM — relevant when member sets and proposal batches are
 scaled up (large-D production runs).
 
-Selected via ``RunConfig.backend = "pallas"``; the jnp path remains the
-default and the reference for equivalence tests.
+Selected via ``MDT_REGION_BACKEND`` (auto/jnp/pallas, resolved in
+``ns/region.py``): ``auto`` uses these kernels on TPU; the jnp forms remain
+the CPU path and the reference for equivalence tests.
 """
 
 from __future__ import annotations
@@ -80,8 +81,12 @@ def count_within_pallas(members, member_mask, points, radius,
 
 
 def _radius_kernel(w_ref, mask_ref, inbag_ref, out_ref):
-    """One bootstrap round: max over out-of-bag members of the distance to
-    the nearest in-bag member (cneighbors.c:125-179)."""
+    """All bootstrap rounds in one invocation: the [M, M] distance matrix is
+    computed once on the MXU and stays in VMEM; each round reduces
+    max-over-out-of-bag of min-over-in-bag (cneighbors.c:125-179). Rounds
+    unroll statically (nb ~ 10), so rows are indexed with constants — the
+    Mosaic lowering forbids (1, M) blocks over a [nb, M] array when nb is
+    not a multiple of 8."""
     w = w_ref[:]                      # [M, ndim]
     cross = jax.lax.dot_general(
         w, w, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -89,12 +94,16 @@ def _radius_kernel(w_ref, mask_ref, inbag_ref, out_ref):
     )
     ss = jnp.sum(jnp.square(w), axis=1, keepdims=True)
     d2 = jnp.maximum(ss - 2.0 * cross + ss.T, 0.0)  # [M, M]
-    inbag = inbag_ref[:] > 0          # [1, M] this round's in-bag flags
-    valid = mask_ref[:] > 0           # [1, M]
+    valid = mask_ref[0, :] > 0        # [M]
     big = jnp.float32(1e30)
-    nearest = jnp.min(jnp.where(inbag, d2, big), axis=1)   # [M]
-    oob = valid[0] & ~inbag[0]
-    out_ref[0, 0] = jnp.max(jnp.where(oob, nearest, 0.0))
+    acc = jnp.float32(0.0)
+    for b in range(inbag_ref.shape[0]):
+        inbag = inbag_ref[b, :] > 0   # [M]
+        nearest = jnp.min(jnp.where(inbag[None, :], d2, big), axis=1)
+        oob = valid & ~inbag
+        rmax = jnp.max(jnp.where(oob, nearest, 0.0))
+        acc = jnp.maximum(acc, jnp.where(jnp.any(inbag), rmax, 0.0))
+    out_ref[:, :] = jnp.full((1, 1), acc, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -106,18 +115,15 @@ def bootstrapped_sq_radius_pallas(w, member_mask, inbag_rounds,
     mask_f = member_mask.astype(jnp.float32).reshape(1, M)
     inbag_f = inbag_rounds.astype(jnp.float32)
 
-    per_round = pl.pallas_call(
+    out = pl.pallas_call(
         _radius_kernel,
-        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((M, w.shape[1]), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=interpret,
     )(w, mask_f, inbag_f)
-    return jnp.max(per_round)
+    return out[0, 0]

@@ -32,6 +32,22 @@ def test_count_within_matches_scipy():
     assert (np.abs(got - want) <= boundary).all()
 
 
+def test_bootstrap_radius_pallas_matches_jnp_backend():
+    """The production dispatch (region.bootstrapped_sq_radius) must give the
+    same radius through either backend: the bag draws are shared."""
+    from massivedatans_tpu.ns import region as region_lib
+
+    rng = np.random.default_rng(7)
+    M, ndim, nb = 96, 3, 10
+    w = jnp.asarray(rng.uniform(size=(M, ndim)), jnp.float32)
+    mask = jnp.asarray(np.arange(M) < 80)
+    key = jax.random.key(3)
+    want = float(region_lib.bootstrapped_sq_radius(w, mask, key, nb))
+    inbag = region_lib.bootstrap_inbag_rounds(mask, key, nb)
+    got = float(bootstrapped_sq_radius_pallas(w, mask, inbag, interpret=True))
+    assert np.isclose(got, want, rtol=1e-5), (got, want)
+
+
 def test_bootstrap_radius_matches_oracle():
     rng = np.random.default_rng(1)
     M, ndim, nb = 64, 2, 8

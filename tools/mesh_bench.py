@@ -1,0 +1,92 @@
+"""Multi-device scaling-efficiency measurement (BASELINE north-star
+protocol: >=80% efficiency from 1 host to 2 hosts).
+
+Weak scaling over the dataset axis: hold datasets-per-device fixed, grow
+the mesh, and compare steady-state NS-iteration throughput. Because
+proposals are replicated (one shared model evaluation serves every shard —
+parallel/sharded.py), perfect scaling means constant iterations/s while
+total datasets/hour grows linearly with devices.
+
+    python tools/mesh_bench.py [per_device_datasets] [device_counts...]
+
+On this container it runs on the virtual 8-device CPU mesh (set
+XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu),
+which validates the protocol and bounds the collective overhead; on real
+TPU hardware the same script measures ICI-riding efficiency directly.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+import jax
+
+from massivedatans_tpu.config import RunConfig
+from massivedatans_tpu.datagen.generators import gen_horns
+from massivedatans_tpu.models.gaussline import make_gaussline_problem
+from massivedatans_tpu.ns import engine as engine_lib
+from massivedatans_tpu.parallel import make_mesh, make_sharded_run_chunk
+from massivedatans_tpu.parallel.sharded import shard_problem, shard_state
+
+PER_DEV = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+COUNTS = [int(c) for c in sys.argv[2:]] or None
+CHUNK = 25
+REPS = 4
+
+
+def bench_one(n_dev: int, data) -> dict:
+    cfg = RunConfig(nlive_points=200, chunk_iters=CHUNK, eval_batch=128,
+                    proposal_batch=512, shelf_capacity=8)
+    D = PER_DEV * n_dev
+    problem = make_gaussline_problem(data["x"], data["y"][:, :D],
+                                     data["noise_level"])
+    mc = cfg.resolve_member_capacity(D)
+    state = engine_lib.init_state(problem, jax.random.key(1), cfg)
+    if n_dev == 1:
+        def run(pr, st):
+            return engine_lib.run_chunk(pr, st, cfg, mc, CHUNK)
+    else:
+        mesh = make_mesh(jax.devices()[:n_dev])
+        problem = shard_problem(problem, mesh)
+        state = shard_state(state, mesh)
+        run = make_sharded_run_chunk(problem, mesh, cfg, mc, CHUNK)
+
+    state, dead = run(problem, state)     # warm-up compile + first chunk
+    jax.block_until_ready(dead.L)
+    t0 = time.time()
+    for _ in range(REPS):
+        state, dead = run(problem, state)
+    jax.block_until_ready(dead.L)
+    dt = (time.time() - t0) / REPS
+    return dict(
+        n_dev=n_dev, D=D, s_per_chunk=round(dt, 4),
+        iters_per_s=round(CHUNK / dt, 2),
+        datasets_x_iters_per_s=round(D * CHUNK / dt, 1),
+    )
+
+
+def main():
+    n_avail = len(jax.devices())
+    counts = COUNTS or sorted({1, 2, n_avail} | (
+        {4} if n_avail >= 4 else set()))
+    counts = [c for c in counts if c <= n_avail]
+    data = gen_horns(PER_DEV * max(counts))
+    rows = [bench_one(n, data) for n in counts]
+    base = rows[0]["iters_per_s"]
+    for r in rows:
+        r["weak_scaling_efficiency"] = round(r["iters_per_s"] / base, 3)
+        print(json.dumps(r), flush=True)
+    if jax.devices()[0].platform == "cpu":
+        print("# NOTE: virtual CPU devices share one host's cores, so "
+              "weak-scaling efficiency here measures host saturation "
+              "(datasets*iters/s plateaus at host throughput), NOT "
+              "collective overhead. Run on real multi-chip hardware for "
+              "the ICI efficiency number.", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -139,6 +139,7 @@ def main(argv=None):
     m.add_argument("--nlive", type=int, default=None)
     m.add_argument("--max-samples", type=int, default=100000)
     m.add_argument("--out", default=None)
+    m.add_argument("--checkpoint-dir", default=None)
     m.set_defaults(fn=cmd_musefit)
 
     r = sub.add_parser(
@@ -187,6 +188,7 @@ def cmd_musefit(args):
         model=model, maxdata=maxdata,
         nlive=args.nlive or int(os.environ.get("NLIVE_POINTS", 400)),
         max_samples=args.max_samples, out_prefix=args.out,
+        checkpoint_dir=args.checkpoint_dir,
     )
     print("logZ = %.1f +- %.1f" % (result.logZ[0], result.logZerr[0]))
     print("ndraws:", result.ndraws)

@@ -54,6 +54,12 @@ class RunConfig:
     matmul_precision: str = "highest"  # likelihood/distance matmul precision
     use_focus: bool = True           # focused (empty-shelf) region after superset draws
     use_groups: bool = True          # connected-component group decomposition (host)
+    use_column_focus: bool = True    # late-run direct proposals around empty
+                                     # datasets' own live points (engine
+                                     # _column_proposals); activates when the
+                                     # datasets have decoupled into more than
+                                     # column_focus_groups components
+    column_focus_groups: int = 8
 
     @classmethod
     def from_env(cls, **overrides) -> "RunConfig":

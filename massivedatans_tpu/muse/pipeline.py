@@ -102,7 +102,8 @@ def run_musefit(cube_path: str, region_path: str, zlo: float, zhi: float,
                 template_files, model: str = "FULL", maxdata: int = 0,
                 nlive: int = 400, tolerance: float = 0.5,
                 max_samples: int = 100000, out_prefix: str | None = None,
-                cfg_overrides: dict | None = None, progress: bool = True):
+                cfg_overrides: dict | None = None, progress: bool = True,
+                checkpoint_dir: str | None = None):
     """Reference musefuse.py main flow; returns (result, problem, cube)."""
     from massivedatans_tpu.config import RunConfig
     from massivedatans_tpu.muse.likelihood import make_muse_problem
@@ -117,7 +118,8 @@ def run_musefit(cube_path: str, region_path: str, zlo: float, zhi: float,
         nlive_points=nlive, tolerance=tolerance, max_samples=max_samples,
         **(cfg_overrides or {}),
     )
-    result = multi_nested_integrator(problem, cfg, progress=progress)
+    result = multi_nested_integrator(problem, cfg, progress=progress,
+                                     checkpoint_dir=checkpoint_dir)
 
     if out_prefix is None:
         suffix = "_zsol_" if model == "ZSOL" else "_full_"

@@ -218,6 +218,41 @@ def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
     )
 
 
+def _column_proposals(pile_u, live_idx, empty, metric, radius, key, B: int):
+    """Candidates drawn directly around random live points of empty-shelf
+    datasets (one ball per candidate, per-column multiplicity correction).
+
+    The group-cycled focused rebuilds visit one connected component per
+    refocus; once the datasets decouple into hundreds of components (late
+    MUSE runs, large-N tails) a single NS iteration would need O(groups)
+    fill rounds. This proposal needs no member gather and no capacity cap:
+    pick an empty dataset, pick one of its live points, sample its
+    RadFriends ball — every candidate lands in somebody's constrained
+    region, and the shared [B, D] scoring still reuses it for every
+    dataset. Equivalent to per-subset RadFriends sampling when components
+    are singletons (the regime it activates in); the 1/n_near correction
+    uses the candidate's own column, mirroring radfriendsregion.py:145-178.
+    """
+    K, D = live_idx.shape
+    ndim = pile_u.shape[1]
+    kd, kk, kdir, krad, kcoin = jax.random.split(key, 5)
+    logits = jnp.where(empty, 0.0, -1e30)
+    cols = jax.random.categorical(kd, logits, shape=(B,))
+    rows = jax.random.randint(kk, (B,), 0, K)
+    c_w = metric.transform(pile_u[live_idx[rows, cols]])  # [B, ndim]
+    direction = jax.random.normal(kdir, (B, ndim))
+    direction = direction / jnp.linalg.norm(direction, axis=1, keepdims=True)
+    rr = radius * jax.random.uniform(krad, (B, 1)) ** (1.0 / ndim)
+    w = c_w + direction * rr
+    u = metric.untransform(w)
+    mem_w = metric.transform(pile_u[live_idx[:, cols]])   # [K, B, ndim]
+    d2 = jnp.sum(jnp.square(mem_w - w[None, :, :]), axis=-1)  # [K, B]
+    nnear = jnp.maximum((d2 < jnp.square(radius)).sum(axis=0), 1)
+    ok = jax.random.uniform(kcoin, (B,)) * nnear.astype(jnp.float32) < 1.0
+    in_cube = jnp.all((u > 0.0) & (u < 1.0), axis=1)
+    return u, ok & in_cube & jnp.any(empty)
+
+
 def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
                   sstate, cfg: RunConfig, member_capacity: int,
                   axis_name=None):
@@ -235,6 +270,14 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
     nsuperset_rounds = max(1, -(-cfg.nsuperset_draws // cfg.eval_batch))
     focus_every = 8
     live_bot = shelves_lib.live_bottom(state.live_L, S)  # once per iteration
+    # column-focused proposals need a Region geometry (radius + metric) and,
+    # under a mesh, would break the replicated-proposal invariant (local
+    # empties differ per shard) — static gate on both
+    col_capable = (
+        cfg.use_column_focus
+        and axis_name is None
+        and isinstance(geom, Region)
+    )
 
     def need_more(shelves):
         return _global_any(state.running & (shelves.count == 0), axis_name)
@@ -280,6 +323,21 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
         )
 
         cand_u, valid, sstate = strategy.propose(geom2, sstate, k_prop)
+        if col_capable:
+            # alternate region rounds with direct empty-column rounds once
+            # the datasets have decoupled past the group-cycling regime
+            use_cols = (
+                (state.n_groups > cfg.column_focus_groups)
+                & (rnd >= nsuperset_rounds)
+                & ((rnd - nsuperset_rounds) % 2 == 1)
+            )
+            empty_now = state.running & (shelves.count == 0)
+            col_u, col_ok = _column_proposals(
+                pile_u, state.live_idx, empty_now, geom2.metric,
+                geom2.radius, k_prop, cfg.eval_batch,
+            )
+            cand_u = jnp.where(use_cols, col_u, cand_u)
+            valid = jnp.where(use_cols, col_ok, valid)
         cand_x = problem.transform_batch(cand_u)
         L = problem.loglike(cand_x)  # [B, D] — the MXU matmul
 

@@ -147,3 +147,28 @@ def test_horns_posterior_recovers_line_position():
     assert len(errs) >= 4
     assert np.abs(errs).max() < 6.0, errs
     assert np.abs(errs).mean() < 2.5, errs
+
+
+@pytest.mark.slow
+def test_decoupled_datasets_logZ_with_column_focus():
+    """Well-separated tight blobs decouple into singleton components early;
+    the engine's column-focused proposals (engine._column_proposals) must
+    keep fills cheap AND evidences unbiased in that regime."""
+    rng = np.random.default_rng(9)
+    D, ndim = 12, 2
+    # spread centers on a coarse grid -> disjoint constrained regions
+    gx, gy = np.meshgrid(np.linspace(0.15, 0.85, 4), np.linspace(0.2, 0.8, 3))
+    centers = np.stack([gx.ravel(), gy.ravel()], axis=1)[:D]
+    centers += rng.uniform(-0.02, 0.02, size=centers.shape)
+    problem = make_analytic_gaussian_problem(centers, sigma=0.015)
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, column_focus_groups=4)
+    result = multi_nested_integrator(
+        problem, cfg, key=jax.random.key(5), progress=False
+    )
+    lz_true = true_logZ(centers, sigma=0.015)
+    err = result.logZerr + np.sqrt(np.maximum(result.information, 0.0) / 100)
+    resid = np.abs(result.logZ - lz_true)
+    assert (resid < 3.5 * err + 0.8).all(), (resid, err)
+    assert result.stats["stalled"] == 0

@@ -56,6 +56,8 @@ def main():
         max_samples=MAXSAMPLES,
         out_prefix=os.path.join(OUT, f"muse_{N_SPAXELS}"),
         progress=True,
+        # TPU workers can crash on hours-long runs; resume instead of redo
+        checkpoint_dir=os.path.join(OUT, f"ckpt_{N_SPAXELS}"),
     )
     wall = time.time() - t0
 

@@ -94,10 +94,12 @@ class RunConfig:
         else:
             # Dead-point coordinates are reconstructed from the pile
             # host-side, so the pile should comfortably hold every accepted
-            # point of a run between (rare) compactions. HBM cost is trivial:
-            # 2^18 rows x ndim floats x 2 arrays ~ 6 MB at ndim=3.
+            # point of a deep run WITHOUT compaction (compaction retraces
+            # with new shapes — expensive through a remote compile service).
+            # HBM cost is trivial: 2^21 rows x ndim floats x 2 arrays
+            # ~ 80 MB at ndim=5.
             cap = max(
-                262144,
+                1 << 21,
                 self.nlive_points * 8
                 + self.shelf_capacity * min(ndata, 4096)
                 + 65536,

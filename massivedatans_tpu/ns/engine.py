@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from massivedatans_tpu.config import RunConfig
 from massivedatans_tpu.models.base import Problem
 from massivedatans_tpu.ns import shelves as shelves_lib
-from massivedatans_tpu.ns.region import Region
+from massivedatans_tpu.ns.region import Region, ball_offsets
 from massivedatans_tpu.ns.shelves import Shelves
 
 _NEG_INF = -jnp.inf
@@ -235,22 +235,19 @@ def _column_proposals(pile_u, live_idx, empty, metric, radius, key, B: int):
     """
     K, D = live_idx.shape
     ndim = pile_u.shape[1]
-    kd, kk, kdir, krad, kcoin = jax.random.split(key, 5)
+    kd, kk, kball, kcoin = jax.random.split(key, 4)
     logits = jnp.where(empty, 0.0, -1e30)
     cols = jax.random.categorical(kd, logits, shape=(B,))
     rows = jax.random.randint(kk, (B,), 0, K)
     c_w = metric.transform(pile_u[live_idx[rows, cols]])  # [B, ndim]
-    direction = jax.random.normal(kdir, (B, ndim))
-    direction = direction / jnp.linalg.norm(direction, axis=1, keepdims=True)
-    rr = radius * jax.random.uniform(krad, (B, 1)) ** (1.0 / ndim)
-    w = c_w + direction * rr
+    w = c_w + ball_offsets(kball, B, ndim, radius)
     u = metric.untransform(w)
     mem_w = metric.transform(pile_u[live_idx[:, cols]])   # [K, B, ndim]
     d2 = jnp.sum(jnp.square(mem_w - w[None, :, :]), axis=-1)  # [K, B]
     nnear = jnp.maximum((d2 < jnp.square(radius)).sum(axis=0), 1)
     ok = jax.random.uniform(kcoin, (B,)) * nnear.astype(jnp.float32) < 1.0
     in_cube = jnp.all((u > 0.0) & (u < 1.0), axis=1)
-    return u, ok & in_cube & jnp.any(empty)
+    return u, ok & in_cube & jnp.any(empty), cols.astype(jnp.int32)
 
 
 def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
@@ -299,13 +296,20 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
             empty = state.running & (shelves.count == 0)
             # cycle focused rebuilds through host-computed connected
             # components (the reference's per-memberset regions,
-            # multi_nested_sampler.py:415-460) — one group per refocus
+            # multi_nested_sampler.py:415-460) — one group per refocus.
+            # Past column_focus_groups components, cycling would visit each
+            # component too rarely; rebuild from the UNION of empty datasets
+            # instead — its bootstrapped radius/metric is a conservative
+            # (larger) covering scale for every column's ball proposals.
             grp = ((rnd - nsuperset_rounds) // focus_every) % jnp.maximum(
                 state.n_groups, 1
             )
             grp_mask = empty & (state.group_id == grp)
-            col_mask = jnp.where(_global_any(grp_mask, axis_name), grp_mask,
-                                 empty)
+            use_grp = (
+                _global_any(grp_mask, axis_name)
+                & (state.n_groups <= cfg.column_focus_groups)
+            )
+            col_mask = jnp.where(use_grp, grp_mask, empty)
             st = state._replace(pile_u=pile_u)
             g, ovf = _build_geometry_from(
                 strategy, st, col_mask, k_focus, cfg, member_capacity,
@@ -322,7 +326,6 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
             do_refocus, refocus, lambda _: (geom, overflow), None
         )
 
-        cand_u, valid, sstate = strategy.propose(geom2, sstate, k_prop)
         if col_capable:
             # alternate region rounds with direct empty-column rounds once
             # the datasets have decoupled past the group-cycling regime
@@ -332,12 +335,24 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
                 & ((rnd - nsuperset_rounds) % 2 == 1)
             )
             empty_now = state.running & (shelves.count == 0)
-            col_u, col_ok = _column_proposals(
-                pile_u, state.live_idx, empty_now, geom2.metric,
-                geom2.radius, k_prop, cfg.eval_batch,
+
+            def prop_cols(k):
+                u, ok, cols = _column_proposals(
+                    pile_u, state.live_idx, empty_now, geom2.metric,
+                    geom2.radius, k, cfg.eval_batch,
+                )
+                return u, ok, cols, sstate
+
+            def prop_region(k):
+                u, ok, st = strategy.propose(geom2, sstate, k)
+                return u, ok, jnp.full((cfg.eval_batch,), -1, jnp.int32), st
+
+            cand_u, valid, src_col, sstate = jax.lax.cond(
+                use_cols, prop_cols, prop_region, k_prop
             )
-            cand_u = jnp.where(use_cols, col_u, cand_u)
-            valid = jnp.where(use_cols, col_ok, valid)
+        else:
+            cand_u, valid, sstate = strategy.propose(geom2, sstate, k_prop)
+            src_col = jnp.full((cand_u.shape[0],), -1, jnp.int32)
         cand_x = problem.transform_batch(cand_u)
         L = problem.loglike(cand_x)  # [B, D] — the MXU matmul
 
@@ -345,6 +360,15 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
         space = shelves.count < S
         above = state.running[None, :] & (L > thresh[None, :])
         acc = valid[:, None] & space[None, :] & above
+        # column-round candidates only fill their source column: their
+        # density is uniform on that column's ball union (1/n_near corrected
+        # there), so cross-column acceptance would oversample overlap zones.
+        # In the decoupled regime where these rounds activate, cross-column
+        # sharing is ~zero anyway.
+        acc = acc & (
+            (src_col[:, None] < 0)
+            | (src_col[:, None] == jnp.arange(L.shape[1])[None, :])
+        )
 
         # strategy feedback: e.g. slice chains advance when the candidate
         # beats any running dataset's constraint (whitenedmcmc.py:305)

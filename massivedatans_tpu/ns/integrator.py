@@ -63,9 +63,17 @@ def compact_pile(state: EngineState) -> EngineState:
     refs = np.unique(np.concatenate([live_idx.ravel(), shelf_idx[shelf_idx >= 0]]))
     n = len(refs)
     P = state.pile_u.shape[0]
-    refs_dev = jnp.asarray(refs, dtype=jnp.int32)
-    new_pile_u = jnp.zeros_like(state.pile_u).at[:n].set(state.pile_u[refs_dev])
-    new_pile_x = jnp.zeros_like(state.pile_x).at[:n].set(state.pile_x[refs_dev])
+    # pad the gather to a bucketed size so repeat compactions reuse one
+    # compiled executable (fresh shapes retrace — slow and observed to kill
+    # remote-compiled TPU workers mid-run)
+    n_pad = min(P, ((n + 65535) // 65536) * 65536)
+    refs_padded = np.concatenate(
+        [refs, np.zeros(n_pad - n, dtype=refs.dtype)])
+    refs_dev = jnp.asarray(refs_padded, dtype=jnp.int32)
+    new_pile_u = jnp.zeros_like(state.pile_u).at[:n_pad].set(
+        state.pile_u[refs_dev])
+    new_pile_x = jnp.zeros_like(state.pile_x).at[:n_pad].set(
+        state.pile_x[refs_dev])
     new_live = np.searchsorted(refs, live_idx).astype(np.int32)
     new_shelf = np.where(
         shelf_idx >= 0, np.searchsorted(refs, np.maximum(shelf_idx, 0)), -1

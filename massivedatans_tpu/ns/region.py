@@ -197,6 +197,16 @@ def count_within(region: Region, w_points) -> jax.Array:
     return near.sum(axis=1)
 
 
+def ball_offsets(key, n: int, ndim: int, radius):
+    """Uniform offsets within a radius-``radius`` ball: unit direction times
+    ``R * U^(1/ndim)`` (radial density ~ volume, radfriendsregion.py:157)."""
+    k_dir, k_rad = jax.random.split(key)
+    direction = jax.random.normal(k_dir, (n, ndim))
+    direction = direction / jnp.linalg.norm(direction, axis=1, keepdims=True)
+    rr = radius * jax.random.uniform(k_rad, (n, 1)) ** (1.0 / ndim)
+    return direction * rr
+
+
 def sample_region(region: Region, key, nprop: int):
     """Draw ``nprop`` candidates uniform on (union-of-balls ∩ unit cube).
 
@@ -209,7 +219,7 @@ def sample_region(region: Region, key, nprop: int):
     ndim = region.members_w.shape[1]
     n_box = nprop // 2
     n_ball = nprop - n_box
-    k_box, k_mem, k_dir, k_rad, k_coin = jax.random.split(key, 5)
+    k_box, k_mem, k_ball, k_coin = jax.random.split(key, 4)
 
     # --- box proposals ---
     w_box = jax.random.uniform(
@@ -221,11 +231,7 @@ def sample_region(region: Region, key, nprop: int):
     logits = jnp.where(region.member_mask, 0.0, _NEG_BIG)
     mem = jax.random.categorical(k_mem, logits, shape=(n_ball,))
     center = region.members_w[mem]  # [n_ball, ndim]
-    direction = jax.random.normal(k_dir, (n_ball, ndim))
-    direction = direction / jnp.linalg.norm(direction, axis=1, keepdims=True)
-    # radial density ~ volume: r = R * U^(1/ndim) (radfriendsregion.py:157)
-    rr = region.radius * jax.random.uniform(k_rad, (n_ball, 1)) ** (1.0 / ndim)
-    w_ball = center + direction * rr
+    w_ball = center + ball_offsets(k_ball, n_ball, ndim, region.radius)
     nnear = count_within(region, w_ball)
     coin = jax.random.uniform(k_coin, (n_ball,))
     ok_ball = coin * nnear.astype(coin.dtype) < 1.0  # accept w.p. 1/nnear; nnear >= 1

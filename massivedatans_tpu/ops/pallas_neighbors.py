@@ -39,6 +39,7 @@ def _count_kernel(pts_ref, mem_ref, memmask_ref, r2_ref, out_ref):
         pts, mem,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # match region.pairwise_sqdist
     )  # [Tn, M]
     ssp = jnp.sum(jnp.square(pts), axis=1, keepdims=True)
     ssm = jnp.sum(jnp.square(mem), axis=1, keepdims=True)
@@ -91,6 +92,7 @@ def _radius_kernel(w_ref, mask_ref, inbag_ref, out_ref):
     cross = jax.lax.dot_general(
         w, w, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # match region.pairwise_sqdist
     )
     ss = jnp.sum(jnp.square(w), axis=1, keepdims=True)
     d2 = jnp.maximum(ss - 2.0 * cross + ss.T, 0.0)  # [M, M]

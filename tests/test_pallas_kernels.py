@@ -32,11 +32,14 @@ def test_count_within_matches_scipy():
     assert (np.abs(got - want) <= boundary).all()
 
 
-def test_bootstrap_radius_pallas_matches_jnp_backend():
+def test_bootstrap_radius_pallas_matches_jnp_backend(monkeypatch):
     """The production dispatch (region.bootstrapped_sq_radius) must give the
     same radius through either backend: the bag draws are shared."""
     from massivedatans_tpu.ns import region as region_lib
 
+    # pin the reference side to the jnp path — on a TPU host 'auto' would
+    # make both sides Pallas and the cross-check vacuous
+    monkeypatch.setenv("MDT_REGION_BACKEND", "jnp")
     rng = np.random.default_rng(7)
     M, ndim, nb = 96, 3, 10
     w = jnp.asarray(rng.uniform(size=(M, ndim)), jnp.float32)

@@ -76,7 +76,7 @@ def main():
     counts = [c for c in counts if c <= n_avail]
     data = gen_horns(PER_DEV * max(counts))
     rows = [bench_one(n, data) for n in counts]
-    base = rows[0]["iters_per_s"]
+    base = min(rows, key=lambda r: r["n_dev"])["iters_per_s"]
     for r in rows:
         r["weak_scaling_efficiency"] = round(r["iters_per_s"] / base, 3)
         print(json.dumps(r), flush=True)

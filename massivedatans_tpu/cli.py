@@ -147,7 +147,7 @@ def main(argv=None):
         help="gradient-based refinement/cross-check of an NS run: batched "
              "per-dataset HMC posteriors and/or mean-field VI evidences "
              "(new capability; the reference is gradient-free)")
-    r.add_argument("data")
+    r.add_argument("data", help="spectra HDF5, or a FITS cube with --muse")
     r.add_argument("output", help="the fit's .out8.hdf5 (seeds the chains)")
     r.add_argument("--backend", default="both", choices=["hmc", "vi", "both"])
     r.add_argument("--num-warmup", type=int, default=300)
@@ -155,6 +155,10 @@ def main(argv=None):
     r.add_argument("--vi-steps", type=int, default=1500)
     r.add_argument("--noise-level", type=float, default=0.01)
     r.add_argument("--max-datasets", type=int, default=4)
+    r.add_argument("--muse", nargs=3, metavar=("REGION", "ZLO", "ZHI"),
+                   default=None,
+                   help="treat `data` as a MUSE cube: ds9 region, zlo, zhi")
+    r.add_argument("--muse-templates", nargs="+", default=None)
     r.set_defaults(fn=cmd_refine)
 
     pe = sub.add_parser("plot-evidences",
@@ -198,12 +202,26 @@ def cmd_refine(args):
     import jax
 
     from massivedatans_tpu.io.hdf5io import load_spectra, read_results
-    from massivedatans_tpu.models.gaussline import make_gaussline_problem
 
     out = read_results(args.output)
     D = out["logZ"].shape[0]
-    x_grid, y = load_spectra(args.data, D)
-    problem = make_gaussline_problem(x_grid, y, noise_level=args.noise_level)
+    if args.muse is not None:
+        from massivedatans_tpu.muse.likelihood import make_muse_problem
+        from massivedatans_tpu.muse.model import load_template_grid
+        from massivedatans_tpu.muse.pipeline import load_muse_cube
+
+        region, zlo, zhi = args.muse
+        cube = load_muse_cube(args.data, region, maxdata=D)
+        md = load_template_grid(args.muse_templates,
+                                data_wl_nm=cube.wavelength_nm,
+                                zlo=float(zlo), zhi=float(zhi))
+        problem = make_muse_problem(md, cube.y, cube.var)
+    else:
+        from massivedatans_tpu.models.gaussline import make_gaussline_problem
+
+        x_grid, y = load_spectra(args.data, D)
+        problem = make_gaussline_problem(
+            x_grid, y, noise_level=args.noise_level)
 
     # seed each dataset's chain from one resampled NS posterior point
     w = (out["w"] + out["L"]).astype(np.float64)

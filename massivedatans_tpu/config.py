@@ -44,7 +44,10 @@ class RunConfig:
     shelf_capacity: int = 16         # per-dataset queue depth (reference: unbounded list)
     member_capacity: int = 0         # region member cap; 0 = auto (2*nlive rounded up)
     pile_capacity: int = 0           # point-pile cap; 0 = auto
-    max_fill_rounds: int = 4096      # safety cap on fill loop per NS iteration
+    max_fill_rounds: int = 1024      # safety cap on fill loop per NS iteration
+                                     # (also bounds worst-case single-program
+                                     # run time: device watchdogs kill
+                                     # minutes-long executions)
     region_rebuild_every: int = 10   # NS iterations between geometry rebuilds
                                      # (reference: every 1000 draws, sample.py:134;
                                      # stale regions are supersets of the current
@@ -82,9 +85,10 @@ class RunConfig:
         cap = max(2 * self.nlive_points, 256)
         # at many datasets the late-run live-point union fans out well past
         # 2*nlive once datasets decouple (member_overflow diagnostics at
-        # N=10^4); focused per-group rebuilds keep correctness either way,
-        # but a roomier superset region wastes fewer proposals
-        if ndata > 1024:
+        # N=10^4 and in deep MUSE runs); overflow keeps a random subsample
+        # (engine._dedup_random) so correctness holds either way, but a
+        # roomier region wastes fewer proposals
+        if ndata > 16:
             cap = max(cap, 4 * self.nlive_points)
         return _round_up(cap, 128)
 

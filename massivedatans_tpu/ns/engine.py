@@ -118,44 +118,64 @@ def _global_or_rows(x, axis_name):
     return jax.lax.psum(x.astype(jnp.int32), axis_name) > 0
 
 
-def _dedup_sorted(flat, capacity: int):
-    """Compact the unique non-negative entries of a sorted int vector."""
-    first = jnp.concatenate(
-        [flat[:1] >= 0, (flat[1:] != flat[:-1]) & (flat[1:] >= 0)]
-    )
+def _dedup_random(flat, capacity: int, key):
+    """Compact the unique non-negative entries of an int vector, ordered by
+    a bijective pseudo-random hash. When more than ``capacity`` unique
+    values exist, the kept subset is therefore a uniform RANDOM subsample —
+    a random subsample of live points plus the bootstrapped cover radius is
+    still a valid RadFriends region (the out-of-bag members are covered by
+    construction), whereas any deterministic (e.g. oldest-first) subset can
+    systematically miss whole modes and collapse the proposal acceptance."""
+    a = jax.random.bits(key, dtype=jnp.uint32) | jnp.uint32(1)  # odd
+    h = a * (flat.astype(jnp.uint32) + jnp.uint32(1))  # bijective mod 2^32
+    h = jnp.where(flat >= 0, h, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(h)
+    sh = h[order]
+    sv = flat[order]
+    valid = sv >= 0
+    first = jnp.concatenate([valid[:1], (sh[1:] != sh[:-1]) & valid[1:]])
     pos = jnp.cumsum(first) - 1
     n_unique = first.sum().astype(jnp.int32)
     write_pos = jnp.where(first & (pos < capacity), pos, capacity)
     members_idx = jnp.zeros((capacity,), jnp.int32).at[write_pos].max(
-        jnp.where(first, flat, 0), mode="drop"
+        jnp.where(first, sv, 0), mode="drop"
     )
     n_kept = jnp.minimum(n_unique, capacity)
     member_mask = jnp.arange(capacity) < n_kept
+    # canonical (ascending) order of the kept subset: the RANDOMNESS decides
+    # which points survive an overflow, but the output ordering must not
+    # depend on the hash, so single-device and mesh paths (whose dedups use
+    # different keys) emit bit-identical member arrays when no overflow
+    # occurred
+    order = jnp.argsort(jnp.where(member_mask, members_idx, jnp.int32(1 << 30)))
+    members_idx = jnp.where(member_mask, members_idx[order], 0)
     return members_idx, member_mask, (n_unique > capacity).astype(jnp.int32)
 
 
-def unique_members(live_idx, col_mask, capacity: int, axis_name=None):
+def unique_members(live_idx, col_mask, capacity: int, key, axis_name=None):
     """Compacted unique pile indices over the selected dataset columns.
 
     Replaces ``get_unique_pointsp`` (multi_nested_sampler.py:130-132). Returns
     ``(members_idx[M], member_mask[M], overflowed)``; when more than
-    ``capacity`` unique points exist the excess (largest pile indices, i.e.
-    newest points) is dropped and ``overflowed`` is set.
+    ``capacity`` unique points exist a random subset is kept (see
+    ``_dedup_random``) and ``overflowed`` is set.
 
     Under a dataset mesh (``axis_name``), the per-shard unique sets are
     all-gathered (pile indices are globally consistent because the pile is
     replicated) and re-deduplicated, so every shard builds the same region
     from the union of live points — the multi-host region construction of
-    survey §5.
+    survey §5. The key is derived from the replicated state key, so the
+    random subsample is identical on every shard.
     """
+    k1, k2 = jax.random.split(key)
     flat = jnp.where(col_mask[None, :], live_idx, -1).reshape(-1)
-    members_idx, member_mask, overflow = _dedup_sorted(jnp.sort(flat), capacity)
+    members_idx, member_mask, overflow = _dedup_random(flat, capacity, k1)
     if axis_name is None:
         return members_idx, member_mask, overflow
     gathered = jax.lax.all_gather(
         jnp.where(member_mask, members_idx, -1), axis_name
     ).reshape(-1)
-    g_idx, g_mask, g_overflow = _dedup_sorted(jnp.sort(gathered), capacity)
+    g_idx, g_mask, g_overflow = _dedup_random(gathered, capacity, k2)
     overflow = jnp.maximum(
         jax.lax.pmax(overflow, axis_name), g_overflow
     )
@@ -164,8 +184,9 @@ def unique_members(live_idx, col_mask, capacity: int, axis_name=None):
 
 def _build_geometry_from(strategy, state: EngineState, col_mask, key,
                          cfg: RunConfig, member_capacity: int, axis_name=None):
+    key, k_dedup = jax.random.split(key)
     members_idx, member_mask, overflow = unique_members(
-        state.live_idx, col_mask, member_capacity, axis_name
+        state.live_idx, col_mask, member_capacity, k_dedup, axis_name
     )
     members_u = state.pile_u[members_idx]
     geom = strategy.build(

@@ -27,7 +27,9 @@ class RunConfig:
     nsuperset_draws: int = 10        # SUPERSET_DRAWS (sample.py:188)
     max_samples: int = 0             # MAXSAMPLES (sample.py:195); 0 = unlimited
     min_samples: int = 0             # MINSAMPLES (sample.py:196)
-    constrainer: str = "MLFRIENDS"   # CONSTRAINER: MLFRIENDS | MULTIELLIPSOIDS | SLICE
+    constrainer: str = "MLFRIENDS"   # CONSTRAINER: MLFRIENDS | RADFRIENDS |
+                                     # SUPFRIENDS | MULTIELLIPSOIDS | SLICE |
+                                     # GALILEAN
     metriclearner: str = "truncatedscaling"  # sample.py:134
     force_shrink: bool = True        # sample.py:134
     nbootstraps: int = 10            # radfriendsregion.py:59

@@ -104,6 +104,30 @@ def pairwise_sqdist(a, b, precision=jax.lax.Precision.HIGHEST):
     return jnp.maximum(ssa[:, None] - 2.0 * cross + ssb[None, :], 0.0)
 
 
+def pairwise_sq_chebyshev(a, b):
+    """[N, M] squared Chebyshev (max-norm) distances.
+
+    The box metric of the reference's SupFriends variant (``friends.py:
+    14-21,129-143``, ``clustering/neighbors.py:22-63``: ``dist = max_k
+    |a_k - b_k|``). Squared so the bootstrapped-radius and membership code
+    paths are shared with the euclidean norm. Unrolled over the (small,
+    static) coordinate axis to avoid materializing an [N, M, ndim] cube.
+    """
+    ndim = a.shape[1]
+    out = jnp.square(a[:, 0][:, None] - b[None, :, 0])
+    for k in range(1, ndim):
+        out = jnp.maximum(out, jnp.square(a[:, k][:, None] - b[None, :, k]))
+    return out
+
+
+def _pairwise(a, b, norm: str):
+    if norm == "euclidean":
+        return pairwise_sqdist(a, b)
+    if norm == "chebyshev":
+        return pairwise_sq_chebyshev(a, b)
+    raise ValueError(f"unknown norm {norm!r}")
+
+
 def bootstrap_inbag_rounds(mask, key, nbootstraps: int) -> jax.Array:
     """[nb, M] in-bag flags: each round draws n members with replacement
     (``neighbors.py:170-177`` builds the same matrix host-side)."""
@@ -120,7 +144,9 @@ def bootstrap_inbag_rounds(mask, key, nbootstraps: int) -> jax.Array:
     return jax.vmap(one)(jax.random.split(key, nbootstraps))
 
 
-def bootstrapped_sq_radius(w, mask, key, nbootstraps: int) -> jax.Array:
+def bootstrapped_sq_radius(
+    w, mask, key, nbootstraps: int, norm: str = "euclidean"
+) -> jax.Array:
     """Squared RadFriends radius: max over bootstrap rounds of the largest
     nearest-in-bag distance of any out-of-bag member.
 
@@ -128,15 +154,18 @@ def bootstrapped_sq_radius(w, mask, key, nbootstraps: int) -> jax.Array:
     draws n samples with replacement; points never drawn are out-of-bag and
     must be covered by a ball around some in-bag point. The bag draws are
     shared between backends, so jnp and Pallas produce identical radii.
+    With ``norm="chebyshev"`` this is the SupFriends box radius
+    (``clustering/neighbors.py:65-86`` find_maxdistance semantics, with the
+    same bootstrap protocol instead of the plain max-NN estimate).
     """
     inbag = bootstrap_inbag_rounds(mask, key, nbootstraps)
-    if _use_pallas():
+    if norm == "euclidean" and _use_pallas():
         from massivedatans_tpu.ops.pallas_neighbors import (
             bootstrapped_sq_radius_pallas,
         )
 
         return bootstrapped_sq_radius_pallas(w, mask, inbag)
-    d2 = pairwise_sqdist(w, w)  # [M, M]; shared by all bootstrap rounds
+    d2 = _pairwise(w, w, norm)  # [M, M]; shared by all bootstrap rounds
 
     def one_round(inbag_b):
         oob = mask & ~inbag_b
@@ -154,16 +183,18 @@ def build_region(
     metriclearner: str = "truncatedscaling",
     prev_scale=None,
     prev_radius=None,
+    norm: str = "euclidean",
 ) -> Region:
     """Whiten + bootstrap-radius region build (hiermetriclearn.py:48-92).
 
     ``force_shrink`` semantics: when the (quantized) metric scale is unchanged
     from the previous build, the radius may only shrink
-    (hiermetriclearn.py:88-91).
+    (hiermetriclearn.py:88-91). ``norm="chebyshev"`` gives the SupFriends
+    union-of-boxes region (friends.py:14-21).
     """
     metric = fit_metric(members_u, member_mask, metriclearner)
     w = metric.transform(members_u)
-    r2 = bootstrapped_sq_radius(w, member_mask, key, nbootstraps)
+    r2 = bootstrapped_sq_radius(w, member_mask, key, nbootstraps, norm=norm)
     radius = jnp.sqrt(r2)
     if prev_scale is not None and prev_radius is not None:
         same_metric = jnp.all(prev_scale == metric.scale)
@@ -184,22 +215,28 @@ def build_region(
     )
 
 
-def count_within(region: Region, w_points) -> jax.Array:
+def count_within(region: Region, w_points, norm: str = "euclidean") -> jax.Array:
     """Number of member balls containing each point (cneighbors.c:95-119)."""
-    if _use_pallas():
+    if norm == "euclidean" and _use_pallas():
         from massivedatans_tpu.ops.pallas_neighbors import count_within_pallas
 
         return count_within_pallas(
             region.members_w, region.member_mask, w_points, region.radius
         )
-    d2 = pairwise_sqdist(w_points, region.members_w)  # [N, M]
+    d2 = _pairwise(w_points, region.members_w, norm)  # [N, M]
     near = (d2 < jnp.square(region.radius)) & region.member_mask[None, :]
     return near.sum(axis=1)
 
 
-def ball_offsets(key, n: int, ndim: int, radius):
+def ball_offsets(key, n: int, ndim: int, radius, norm: str = "euclidean"):
     """Uniform offsets within a radius-``radius`` ball: unit direction times
-    ``R * U^(1/ndim)`` (radial density ~ volume, radfriendsregion.py:157)."""
+    ``R * U^(1/ndim)`` (radial density ~ volume, radfriendsregion.py:157).
+    A Chebyshev ball is an axis-aligned cube, so that norm draws uniform
+    per-coordinate offsets instead."""
+    if norm == "chebyshev":
+        return jax.random.uniform(
+            key, (n, ndim), minval=-radius, maxval=radius
+        )
     k_dir, k_rad = jax.random.split(key)
     direction = jax.random.normal(k_dir, (n, ndim))
     direction = direction / jnp.linalg.norm(direction, axis=1, keepdims=True)
@@ -207,7 +244,7 @@ def ball_offsets(key, n: int, ndim: int, radius):
     return direction * rr
 
 
-def sample_region(region: Region, key, nprop: int):
+def sample_region(region: Region, key, nprop: int, norm: str = "euclidean"):
     """Draw ``nprop`` candidates uniform on (union-of-balls ∩ unit cube).
 
     Half the batch uses the whitened-bounding-box proposal, half the
@@ -225,14 +262,14 @@ def sample_region(region: Region, key, nprop: int):
     w_box = jax.random.uniform(
         k_box, (n_box, ndim), minval=region.lo, maxval=region.hi
     )
-    ok_box = count_within(region, w_box) > 0
+    ok_box = count_within(region, w_box, norm=norm) > 0
 
     # --- ball proposals ---
     logits = jnp.where(region.member_mask, 0.0, _NEG_BIG)
     mem = jax.random.categorical(k_mem, logits, shape=(n_ball,))
     center = region.members_w[mem]  # [n_ball, ndim]
-    w_ball = center + ball_offsets(k_ball, n_ball, ndim, region.radius)
-    nnear = count_within(region, w_ball)
+    w_ball = center + ball_offsets(k_ball, n_ball, ndim, region.radius, norm=norm)
+    nnear = count_within(region, w_ball, norm=norm)
     coin = jax.random.uniform(k_coin, (n_ball,))
     ok_ball = coin * nnear.astype(coin.dtype) < 1.0  # accept w.p. 1/nnear; nnear >= 1
 

@@ -54,21 +54,38 @@ def _compact(u_prop, ok, B):
 # MLFriends: metric-learned union-of-balls (hiermetriclearn.py:30-213)
 # --------------------------------------------------------------------------
 
-def make_mlfriends(cfg: RunConfig) -> Strategy:
+def make_mlfriends(
+    cfg: RunConfig,
+    norm: str = "euclidean",
+    metriclearner: str | None = None,
+) -> Strategy:
+    """Union-of-balls/boxes constrained draws.
+
+    Defaults give MLFriends (hiermetriclearn.py). ``norm="chebyshev"`` gives
+    the SupFriends box-metric variant and ``metriclearner="none"`` the plain
+    RadFriends variant of the reference's ``friends.py:8-334`` (there
+    vestigial — its external ``nested_sampling`` import is broken — but its
+    euclidean/chebyshev capability is carried here as a working strategy).
+    """
+    learner = cfg.metriclearner if metriclearner is None else metriclearner
+
     def build(members_u, member_mask, key, prev_scale, prev_radius):
         return region_lib.build_region(
             members_u, member_mask, key,
             nbootstraps=cfg.nbootstraps,
-            metriclearner=cfg.metriclearner,
+            metriclearner=learner,
             prev_scale=prev_scale if cfg.force_shrink else None,
             prev_radius=prev_radius if cfg.force_shrink else None,
+            norm=norm,
         )
 
     def init_chains(geom, key):
         return ()
 
     def propose(geom, sstate, key):
-        u_prop, ok = region_lib.sample_region(geom, key, cfg.proposal_batch)
+        u_prop, ok = region_lib.sample_region(
+            geom, key, cfg.proposal_batch, norm=norm
+        )
         cand_u, valid = _compact(u_prop, ok, cfg.eval_batch)
         return cand_u, valid, sstate
 
@@ -373,6 +390,10 @@ def make_strategy(cfg: RunConfig) -> Strategy:
     name = cfg.constrainer.upper()
     if name == "MLFRIENDS":
         return make_mlfriends(cfg)
+    if name == "RADFRIENDS":
+        return make_mlfriends(cfg, norm="euclidean", metriclearner="none")
+    if name == "SUPFRIENDS":
+        return make_mlfriends(cfg, norm="chebyshev", metriclearner="none")
     if name == "MULTIELLIPSOIDS":
         return make_multiellipsoids(cfg)
     if name == "SLICE":

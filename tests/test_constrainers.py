@@ -48,7 +48,10 @@ def test_sample_ellipsoids_stays_in_union():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("constrainer", ["MULTIELLIPSOIDS", "SLICE", "GALILEAN"])
+@pytest.mark.parametrize(
+    "constrainer",
+    ["MULTIELLIPSOIDS", "SLICE", "GALILEAN", "RADFRIENDS", "SUPFRIENDS"],
+)
 def test_alternative_constrainer_logZ(constrainer):
     rng = np.random.default_rng(11)
     D, ndim = 4, 2

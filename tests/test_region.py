@@ -16,6 +16,7 @@ from massivedatans_tpu.ns.region import (
     bootstrapped_sq_radius,
     count_within,
     fit_metric,
+    pairwise_sq_chebyshev,
     pairwise_sqdist,
     sample_region,
 )
@@ -141,6 +142,63 @@ def test_sample_region_uniform_in_union():
         total += len(u)
     assert total > 2000
     # equal-volume balls -> 50/50 occupancy within 5 sigma
+    p = counts[0] / total
+    sigma = 0.5 / np.sqrt(total)
+    assert abs(p - 0.5) < 5 * sigma, (p, total)
+
+
+def test_pairwise_chebyshev_vs_scipy():
+    rng = np.random.default_rng(6)
+    a = rng.normal(size=(41, 5))
+    b = rng.normal(size=(29, 5))
+    got = np.asarray(pairwise_sq_chebyshev(jnp.asarray(a, jnp.float32),
+                                           jnp.asarray(b, jnp.float32)))
+    want = scipy.spatial.distance.cdist(a, b, metric="chebyshev") ** 2
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_count_within_chebyshev_vs_scipy():
+    """SupFriends box membership (friends.py:129-143 semantics)."""
+    rng = np.random.default_rng(7)
+    n, m, ndim = 50, 200, 3
+    members = rng.uniform(size=(n, ndim)).astype(np.float32)
+    pts = rng.uniform(-0.2, 1.2, size=(m, ndim)).astype(np.float32)
+    mask = np.ones(n, bool)
+    region = build_region(jnp.asarray(members), jnp.asarray(mask),
+                          jax.random.key(0), nbootstraps=5,
+                          metriclearner="none", norm="chebyshev")
+    r = float(region.radius)
+    got = np.asarray(count_within(region, jnp.asarray(pts), norm="chebyshev"))
+    d = scipy.spatial.distance.cdist(members, pts, metric="chebyshev")
+    want = (d < r).sum(axis=0)
+    assert (np.abs(got - want) <= (np.abs(d - r) < 1e-4).sum(axis=0)).all()
+
+
+def test_sample_region_chebyshev_stays_in_union():
+    """Accepted SupFriends samples land inside the union of boxes, and both
+    equal-volume boxes are occupied evenly."""
+    members = np.array([[0.3, 0.3], [0.7, 0.7]], np.float32)
+    mask = np.ones(2, bool)
+    region = build_region(jnp.asarray(members), jnp.asarray(mask),
+                          jax.random.key(0), nbootstraps=3,
+                          metriclearner="none", norm="chebyshev")
+    region = region._replace(radius=jnp.float32(0.1),
+                             lo=jnp.asarray([0.2, 0.2], jnp.float32),
+                             hi=jnp.asarray([0.8, 0.8], jnp.float32))
+    total = 0
+    counts = np.zeros(2)
+    key = jax.random.key(1)
+    for _ in range(20):
+        key, k = jax.random.split(key)
+        u, ok = sample_region(region, k, 512, norm="chebyshev")
+        u = np.asarray(u)[np.asarray(ok)]
+        d0 = np.abs(u - members[0]).max(axis=1)
+        d1 = np.abs(u - members[1]).max(axis=1)
+        assert ((d0 < 0.1) | (d1 < 0.1)).all()
+        counts[0] += (d0 < 0.1).sum()
+        counts[1] += (d1 < 0.1).sum()
+        total += len(u)
+    assert total > 1000
     p = counts[0] / total
     sigma = 0.5 / np.sqrt(total)
     assert abs(p - 0.5) < 5 * sigma, (p, total)

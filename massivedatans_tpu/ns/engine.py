@@ -239,7 +239,8 @@ def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
     )
 
 
-def _column_proposals(pile_u, live_idx, empty, metric, radius, key, B: int):
+def _column_proposals(pile_u, live_idx, empty, metric, radius, key, B: int,
+                      norm: str = "euclidean"):
     """Candidates drawn directly around random live points of empty-shelf
     datasets (one ball per candidate, per-column multiplicity correction).
 
@@ -261,10 +262,14 @@ def _column_proposals(pile_u, live_idx, empty, metric, radius, key, B: int):
     cols = jax.random.categorical(kd, logits, shape=(B,))
     rows = jax.random.randint(kk, (B,), 0, K)
     c_w = metric.transform(pile_u[live_idx[rows, cols]])  # [B, ndim]
-    w = c_w + ball_offsets(kball, B, ndim, radius)
+    w = c_w + ball_offsets(kball, B, ndim, radius, norm=norm)
     u = metric.untransform(w)
     mem_w = metric.transform(pile_u[live_idx[:, cols]])   # [K, B, ndim]
-    d2 = jnp.sum(jnp.square(mem_w - w[None, :, :]), axis=-1)  # [K, B]
+    sq = jnp.square(mem_w - w[None, :, :])
+    if norm == "chebyshev":
+        d2 = jnp.max(sq, axis=-1)  # [K, B]
+    else:
+        d2 = jnp.sum(sq, axis=-1)  # [K, B]
     nnear = jnp.maximum((d2 < jnp.square(radius)).sum(axis=0), 1)
     ok = jax.random.uniform(kcoin, (B,)) * nnear.astype(jnp.float32) < 1.0
     in_cube = jnp.all((u > 0.0) & (u < 1.0), axis=1)
@@ -360,7 +365,7 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
             def prop_cols(k):
                 u, ok, cols = _column_proposals(
                     pile_u, state.live_idx, empty_now, geom2.metric,
-                    geom2.radius, k, cfg.eval_batch,
+                    geom2.radius, k, cfg.eval_batch, norm=strategy.norm,
                 )
                 return u, ok, cols, sstate
 

@@ -41,6 +41,9 @@ class Strategy(NamedTuple):
     propose: Callable      # fixed-size candidate batch
     observe: Callable      # likelihood feedback (slice shrink/advance)
     refresh: Callable = _no_refresh  # post-feedback direction/restart update
+    norm: str = "euclidean"  # ball norm when the geometry is a Region (the
+                             # engine's column proposals must sample the same
+                             # ball shape the region's radius was fit in)
 
 
 def _compact(u_prop, ok, B):
@@ -92,7 +95,7 @@ def make_mlfriends(
     def observe(sstate, cand_u, chain_accept):
         return sstate
 
-    return Strategy(build, init_chains, propose, observe)
+    return Strategy(build, init_chains, propose, observe, norm=norm)
 
 
 # --------------------------------------------------------------------------

@@ -150,10 +150,12 @@ def test_horns_posterior_recovers_line_position():
 
 
 @pytest.mark.slow
-def test_decoupled_datasets_logZ_with_column_focus():
+@pytest.mark.parametrize("constrainer", ["MLFRIENDS", "SUPFRIENDS"])
+def test_decoupled_datasets_logZ_with_column_focus(constrainer):
     """Well-separated tight blobs decouple into singleton components early;
     the engine's column-focused proposals (engine._column_proposals) must
-    keep fills cheap AND evidences unbiased in that regime."""
+    keep fills cheap AND evidences unbiased in that regime — including under
+    the box-metric SupFriends region, whose column balls are cubes."""
     rng = np.random.default_rng(9)
     D, ndim = 12, 2
     # spread centers on a coarse grid -> disjoint constrained regions
@@ -163,7 +165,8 @@ def test_decoupled_datasets_logZ_with_column_focus():
     problem = make_analytic_gaussian_problem(centers, sigma=0.015)
     import dataclasses
 
-    cfg = dataclasses.replace(SMALL, column_focus_groups=4)
+    cfg = dataclasses.replace(SMALL, column_focus_groups=4,
+                              constrainer=constrainer)
     result = multi_nested_integrator(
         problem, cfg, key=jax.random.key(5), progress=False
     )

@@ -55,6 +55,12 @@ class RunConfig:
                                      # stale regions are supersets of the current
                                      # contour, so correctness is unaffected)
     chunk_iters: int = 50            # NS iterations per device dispatch
+    pipeline_lookahead: int = 1      # extra chunks kept in flight: the device
+                                     # computes chunk k+1 while the host blocks
+                                     # on chunk k's report (hides dispatch/
+                                     # transfer round trips); costs at most
+                                     # `lookahead` wasted no-op chunks at
+                                     # termination. 0 = fully synchronous.
     seed: int = 1                    # numpy.random.seed(1) (sample.py:162)
     matmul_precision: str = "highest"  # likelihood/distance matmul precision
     use_focus: bool = True           # focused (empty-shelf) region after superset draws

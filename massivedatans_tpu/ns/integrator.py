@@ -194,17 +194,43 @@ def multi_nested_integrator(
     profile_chunks = int(os.environ.get("MDT_PROFILE_CHUNKS", "3"))
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    while True:
-        if not running.any():
-            break
-        t_c0 = time.time()
-        state, dead = run(problem, state)
-        t_c1 = time.time()
+
+    # --- pipelined chunk dispatch ---
+    # `pipeline` holds chunks already dispatched to the device; with
+    # cfg.pipeline_lookahead > 0 the device computes chunk k+1 while the host
+    # blocks on chunk k's packed report, hiding the dispatch/transfer round
+    # trip of a tunneled TPU. Dispatch order is a pure chain of states, so
+    # results are identical to synchronous execution — the only costs are up
+    # to `lookahead` wasted no-op chunks after on-device termination (the
+    # fill loop exits immediately once nothing is running) and group labels
+    # steering dispatches one chunk later.
+    from collections import deque
+
+    pipeline = deque()  # (state, report_buf) in dispatch order
+    newest_state = state
+    compact_due = False
+    lookahead = max(0, cfg.pipeline_lookahead)
+
+    def dispatch_chunk():
+        nonlocal newest_state
+        st, dead = run(problem, newest_state)
         # one packed device->host transfer per chunk: per-fetch latency on a
         # tunneled TPU otherwise dominates the whole run. Termination itself
-        # runs on-device (engine.device_termination), so this loop only
+        # runs on-device (engine.device_termination), so the host loop only
         # streams results and handles compaction/checkpoints/progress.
-        buf = np.asarray(engine_lib.chunk_report(state, dead, K))
+        buf = engine_lib.chunk_report(st, dead, K)
+        newest_state = st
+        pipeline.append((st, buf))
+
+    while running.any() or pipeline:
+        if running.any() and not compact_due:
+            while len(pipeline) < 1 + lookahead:
+                dispatch_chunk()
+        elif not pipeline:
+            break
+        state, buf = pipeline.popleft()
+        t_c0 = t_c1 = time.time()
+        buf = np.asarray(buf)  # blocks until the chunk finishes
         t_c2 = time.time()
         rep = engine_lib.parse_report(buf, cfg.chunk_iters, D, K)
         d_run = rep["running"]
@@ -257,25 +283,33 @@ def multi_nested_integrator(
                 meta=dict(chunk_index=chunk_index, ndata=D,
                           nlive=K, iteration=it),
             )
-        if not running.any():
+        if not running.any() and not pipeline:
             break
-        if rep["pile_size"] > 0.85 * pile_cap:
+        # compaction must see every in-flight chunk's indices first (they
+        # reference the pre-compaction pile): stop dispatching, drain the
+        # pipeline, then compact the newest state
+        compact_due = rep["pile_size"] > 0.85 * pile_cap
+        if compact_due and not pipeline and running.any():
             resolve_pending(state)  # indices reference the pre-compaction pile
             state = compact_pile(state)
+            newest_state = state
+            compact_due = False
         if profile_dir and chunk_index == profile_chunks:
             jax.profiler.stop_trace()
             profile_dir = None
         t_c3 = time.time()
-        if cfg.use_groups and D > 1:
+        if cfg.use_groups and D > 1 and running.any():
             # advisory group decomposition for focused draws (ns/subsets.py);
             # cheap at chunk cadence, replaces reference igraph clusters();
-            # live_idx rides in the packed report, no extra device fetch
+            # live_idx rides in the packed report, no extra device fetch.
+            # Labels steer the NEXT dispatch (under lookahead, one chunk
+            # later) — purely advisory, correctness never depends on them.
             from massivedatans_tpu.ns import subsets as subsets_lib
 
             labels, n_groups = subsets_lib.component_labels(
                 rep["live_idx"], selected=running, nlive_points=K
             )
-            state = state._replace(
+            newest_state = newest_state._replace(
                 group_id=jnp.asarray(np.maximum(labels, 0), jnp.int32),
                 n_groups=jnp.int32(max(n_groups, 1)),
             )

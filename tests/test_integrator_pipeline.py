@@ -1,0 +1,85 @@
+"""Host-driver pipelining and pile-compaction tests.
+
+The integrator dispatches chunks ahead of the host (cfg.pipeline_lookahead)
+and compacts the point pile when it nears capacity (survey §7 'pile growth /
+memory'). Neither may change results: dispatch is a pure chain of states, and
+compaction renumbers pile indices while preserving the member sets, geometry
+and RNG streams — so a run with a tiny pile must match a run with a huge one
+exactly.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from massivedatans_tpu.config import RunConfig
+from massivedatans_tpu.models.analytic import (
+    make_analytic_gaussian_problem,
+    true_logZ,
+)
+from massivedatans_tpu.ns.integrator import multi_nested_integrator
+
+CFG = RunConfig(
+    nlive_points=50,
+    proposal_batch=128,
+    eval_batch=32,
+    shelf_capacity=4,
+    chunk_iters=20,
+    max_fill_rounds=256,
+)
+
+
+def _problem(D=6, ndim=2, seed=21):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(0.3, 0.7, size=(D, ndim))
+    return centers, make_analytic_gaussian_problem(centers, sigma=0.07)
+
+
+def _run(cfg, problem):
+    return multi_nested_integrator(
+        problem, cfg, key=jax.random.key(4), progress=False
+    )
+
+
+def test_compaction_is_invisible():
+    """pile_capacity=1024 forces repeated mid-run compactions; the dead-point
+    stream and evidences must be identical to an uncompacted run."""
+    centers, problem = _problem()
+    big = _run(dataclasses.replace(CFG, pile_capacity=1 << 16), problem)
+    small = _run(dataclasses.replace(CFG, pile_capacity=1024), problem)
+    assert small.stats["pile_peak"] <= 1024
+    np.testing.assert_array_equal(big.L, small.L)
+    np.testing.assert_array_equal(big.u, small.u)
+    np.testing.assert_allclose(big.logZ, small.logZ, rtol=0, atol=1e-6)
+    assert big.ndraws == small.ndraws
+
+
+def test_lookahead_matches_synchronous():
+    """Optimistic chunk dispatch must not change the trajectory."""
+    centers, problem = _problem(seed=22)
+    sync = _run(dataclasses.replace(CFG, pipeline_lookahead=0), problem)
+    pipe = _run(dataclasses.replace(CFG, pipeline_lookahead=2), problem)
+    np.testing.assert_array_equal(sync.L, pipe.L)
+    np.testing.assert_allclose(sync.logZ, pipe.logZ, rtol=0, atol=1e-6)
+    assert sync.niterations == pipe.niterations
+    assert sync.ndraws == pipe.ndraws
+
+
+def test_compaction_under_lookahead_logZ():
+    """Compaction + lookahead together (the drain-then-compact path) still
+    produce correct evidences and internally-consistent records."""
+    centers, problem = _problem(D=8, seed=23)
+    cfg = dataclasses.replace(CFG, pile_capacity=1024, pipeline_lookahead=2)
+    result = _run(cfg, problem)
+    lz_true = true_logZ(centers, sigma=0.07)
+    err = result.logZerr + np.sqrt(np.maximum(result.information, 0.0) / 50)
+    assert (np.abs(result.logZ - lz_true) < 3.5 * err + 0.8).all()
+    # record integrity across compaction boundaries: the stored u rows must
+    # reproduce the stored x rows through the prior transform
+    sel = result.mask.any(axis=1)
+    u = result.u[sel].reshape(-1, 2)
+    x = result.x[sel].reshape(-1, 2)
+    x2 = np.asarray(problem.transform_batch(u))
+    np.testing.assert_allclose(x, x2, rtol=1e-5, atol=1e-6)

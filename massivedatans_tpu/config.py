@@ -81,6 +81,10 @@ class RunConfig:
             max_samples=_env_int("MAXSAMPLES", cls.max_samples),
             min_samples=_env_int("MINSAMPLES", cls.min_samples),
             constrainer=_env_str("CONSTRAINER", cls.constrainer),
+            # USE_GRAPH selects the subset-decomposition path in the
+            # reference (sample.py:189); here it gates the host-side
+            # connected-component decomposition entirely
+            use_groups=bool(_env_int("USE_GRAPH", int(cls.use_groups))),
         )
         kw.update(overrides)
         return cls(**kw)

@@ -33,3 +33,24 @@ def test_gen_fit_check_refine_roundtrip(tmp_path, monkeypatch, capsys):
     text = capsys.readouterr().out
     assert "HMC: mean accept" in text
     assert "VI: median |logZ_IW - logZ_NS|" in text
+
+
+def test_runconfig_env_flags(monkeypatch):
+    """Full reference env-flag surface (survey §5 config inventory)."""
+    from massivedatans_tpu.config import RunConfig
+
+    monkeypatch.setenv("NLIVE_POINTS", "123")
+    monkeypatch.setenv("SUPERSET_DRAWS", "7")
+    monkeypatch.setenv("MAXSAMPLES", "5000")
+    monkeypatch.setenv("MINSAMPLES", "10")
+    monkeypatch.setenv("CONSTRAINER", "SUPFRIENDS")
+    monkeypatch.setenv("USE_GRAPH", "0")
+    cfg = RunConfig.from_env()
+    assert cfg.nlive_points == 123
+    assert cfg.nsuperset_draws == 7
+    assert cfg.max_samples == 5000
+    assert cfg.min_samples == 10
+    assert cfg.constrainer == "SUPFRIENDS"
+    assert cfg.use_groups is False
+    # overrides beat env
+    assert RunConfig.from_env(nlive_points=9).nlive_points == 9

@@ -174,6 +174,22 @@ def main(argv=None):
     ps.add_argument("--out", default="scaling.pdf")
     ps.set_defaults(fn=cmd_plot_scaling)
 
+    pp_ = sub.add_parser("plot-posterior",
+                         help="marginal posteriors (plotposterior.py)")
+    pp_.add_argument("output")
+    pp_.add_argument("--dataset", type=int, default=0)
+    pp_.add_argument("--out", default="posterior.pdf")
+    pp_.set_defaults(fn=cmd_plot_posterior)
+
+    pm = sub.add_parser(
+        "plot-muse-posterior",
+        help="per-spaxel posterior corner plots (plotmuseposterior.py)")
+    pm.add_argument("output")
+    pm.add_argument("--min-finite", type=int, default=4000)
+    pm.add_argument("--size", type=int, default=100000)
+    pm.add_argument("--prefix", default="museposterior")
+    pm.set_defaults(fn=cmd_plot_muse_posterior)
+
     args = p.parse_args(argv)
     return args.fn(args)
 
@@ -269,6 +285,25 @@ def cmd_plot_evidences(args):
     out = read_results(args.output)
     B = pp.plot_evidences(out, y[:, :out["logZ"].shape[0]], path=args.out)
     print(f"median log10 B = {np.median(B):.2f}; wrote {args.out}")
+
+
+def cmd_plot_posterior(args):
+    from massivedatans_tpu import postprocess as pp
+    from massivedatans_tpu.io.hdf5io import read_results
+
+    out = read_results(args.output)
+    pp.plot_posterior(out, d=args.dataset, path=args.out)
+    print("wrote", args.out)
+
+
+def cmd_plot_muse_posterior(args):
+    from massivedatans_tpu import postprocess as pp
+    from massivedatans_tpu.io.hdf5io import read_results
+
+    out = read_results(args.output)
+    done = pp.plot_muse_posterior(out, min_finite=args.min_finite,
+                                  size=args.size, path_prefix=args.prefix)
+    print(f"plotted {len(done)} datasets -> {args.prefix}_*.pdf")
 
 
 def cmd_plot_scaling(args):

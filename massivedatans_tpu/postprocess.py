@@ -149,3 +149,215 @@ def muse_maps(out: dict, flat_positions, mask_shape, param_names=None,
         plt.savefig(f"{path_prefix}_{name}.pdf", bbox_inches="tight")
         plt.close()
     return maps
+
+
+def _weighted_quantiles(x, q):
+    xs = np.sort(np.asarray(x, float))
+    return np.quantile(xs, q)
+
+
+def plot_corner(samples, labels=None, quantiles=(0.16, 0.5, 0.84), bins=40,
+                path=None, show_titles=True):
+    """Dependency-free corner plot: marginal histograms on the diagonal,
+    pairwise 2-D histograms below, quantile titles. Stand-in for the external
+    ``corner.corner`` call in the reference (plotmuseposterior.py:36-39)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    samples = np.asarray(samples, float)
+    ndim = samples.shape[1]
+    names = labels or [f"p{j}" for j in range(ndim)]
+    fig, axes = plt.subplots(ndim, ndim, figsize=(2.2 * ndim, 2.2 * ndim))
+    axes = np.atleast_2d(axes)
+    for i in range(ndim):
+        for j in range(ndim):
+            ax = axes[i, j]
+            if j > i:
+                ax.axis("off")
+                continue
+            if i == j:
+                ax.hist(samples[:, i], bins=bins, histtype="step", color="k")
+                for q in quantiles:
+                    ax.axvline(_weighted_quantiles(samples[:, i], q),
+                               color="k", ls="--", lw=0.8)
+                if show_titles and quantiles:
+                    lo, mid, hi = (_weighted_quantiles(samples[:, i], q)
+                                   for q in quantiles[:3])
+                    ax.set_title(
+                        f"{names[i]} = {mid:.2f}"
+                        f"$^{{+{hi - mid:.2f}}}_{{-{mid - lo:.2f}}}$",
+                        fontsize=10)
+                ax.set_yticks([])
+            else:
+                ax.hist2d(samples[:, j], samples[:, i], bins=bins,
+                          cmap="Greys")
+            if i == ndim - 1:
+                ax.set_xlabel(names[j])
+            else:
+                ax.set_xticklabels([])
+            if j == 0 and i > 0:
+                ax.set_ylabel(names[i])
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_muse_posterior(out: dict, labels=None, transforms=None,
+                        min_finite=4000, size=100000,
+                        path_prefix="museposterior", rng=None):
+    """Per-spaxel corner plots of the MUSE posterior
+    (plotmuseposterior.py:13-41): for every dataset with at least
+    ``min_finite`` finite posterior weights, resample ``size`` weighted draws
+    and render a corner plot with 16/50/84% quantile titles.
+
+    ``transforms`` maps column index -> callable applied to the samples
+    (the reference log10-transforms the continuum and SFage columns,
+    plotmuseposterior.py:27-30). Returns the list of datasets plotted."""
+    rng = rng or np.random.default_rng()
+    ndata = out["logZ"].shape[0]
+    ndim = out["x"].shape[2]
+    names = labels or (["Z", "logSFtau", "SFage", "z", "EBV"]
+                       if ndim == 5 else [f"p{j}" for j in range(ndim)])
+    transforms = transforms or {}
+    done = []
+    for d in range(ndata):
+        w = out["w"][:, d].astype(np.float64) + out["L"][:, d].astype(np.float64)
+        mask = np.isfinite(w)
+        if mask.sum() < min_finite:
+            continue
+        jparent = np.where(mask)[0]
+        p = np.exp(w[jparent] - w[jparent].max())
+        p = p / p.sum()
+        j = rng.choice(jparent, size=size, p=p)
+        cols = [np.asarray(transforms.get(k, lambda v: v)(out["x"][:, d, k][j]))
+                for k in range(ndim)]
+        data = np.transpose(cols)
+        plot_corner(data, labels=names,
+                    path=f"{path_prefix}_{d + 1}.pdf")
+        done.append(d)
+    return done
+
+
+def _demo_likelihood(x, y):
+    """Curved chain of Gaussian blobs: a 2-D multimodal test surface for the
+    region-visualisation demos (pres/plotcontour.py)."""
+    cx = np.linspace(0.0, 4.0, 16)
+    cy = 0.25 * cx ** 2 - 0.1 * cx
+    cw = 1.0 / (1.5 + 8.0 * cy ** 2)
+    cs = 0.22
+    l = np.zeros(np.broadcast(x, y).shape)
+    for k in range(cx.size):
+        l = l + cw[k] * np.exp(
+            -0.5 * (((x - cx[k]) / cs) ** 2 + ((y - cy[k]) / cs) ** 2))
+    return np.log(l + 1e-300)
+
+
+def _demo_region_mask(points_xy, grid_xy, key=0):
+    """Build a RadFriends region from 2-D live points and evaluate grid
+    membership with the framework's region machinery (ns/region.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from massivedatans_tpu.ns import region as region_lib
+
+    members = jnp.asarray(points_xy, jnp.float32)
+    mask = jnp.ones(members.shape[0], bool)
+    reg = region_lib.build_region(members, mask, jax.random.key(key))
+    w = reg.metric.transform(jnp.asarray(grid_xy, jnp.float32))
+    return np.asarray(region_lib.count_within(reg, w) > 0)
+
+
+def plot_region_demo(path_prefix="plotcontour", nlive=100, nlevels=5,
+                     seed=1, npoints=10000):
+    """Nested-sampling region illustration (pres/plotcontour.py): for a
+    sequence of likelihood level sets, plot the surviving prior samples and
+    the RadFriends region boundary built from the first ``nlive`` of them."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    gx = np.linspace(-2.5, 6.5, 100)
+    gy = np.linspace(-2.5, 6.5, 100)
+    X, Y = np.meshgrid(gx, gy)
+    XY = np.transpose([X.ravel(), Y.ravel()])
+    L = _demo_likelihood(X, Y)
+    inner = np.sort(L[20:-20, 20:-20].ravel())
+    levels = list(inner[:: max(1, inner.size // (nlevels + 2) - 1)])[2:2 + nlevels]
+
+    plt.figure(figsize=(6, 3), frameon=False)
+    plt.axis("off")
+    plt.contour(X, Y, L, levels)
+    plt.savefig(f"{path_prefix}.pdf", bbox_inches="tight")
+    plt.close()
+
+    rng = np.random.default_rng(seed)
+    px = rng.uniform(-2, 6, size=npoints)
+    py = rng.uniform(-2, 6, size=npoints)
+    pl = _demo_likelihood(px, py)
+    outputs = []
+    for i, level in enumerate(levels):
+        keep = pl > level
+        xl, yl = px[keep][:nlive], py[keep][:nlive]
+        if xl.size < 4:
+            break
+        inside = _demo_region_mask(np.transpose([xl, yl]), XY, key=i)
+        plt.figure(figsize=(6, 2.4), frameon=False)
+        plt.axis("off")
+        plt.contour(X, Y, L, [level], colors=["k"], linestyles=[":"])
+        plt.plot(xl, yl, ".", color="k")
+        plt.contour(X, Y, inside.reshape(X.shape) * 1.0, [0.5],
+                    colors=["orange"])
+        path = f"{path_prefix}_{i + 1}.pdf"
+        plt.savefig(path, bbox_inches="tight")
+        plt.close()
+        outputs.append(path)
+    return outputs
+
+
+def plot_joint_region_demo(path_prefix="plotjointcontour", nlive=100,
+                           nlevels=5, seed=1, npoints=10000):
+    """Joint-run illustration (pres/plotjointcontour.py): two overlapping
+    Gaussian likelihoods; at each level, points satisfying both constraints
+    (shared model evaluations) vs points unique to one dataset."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    def like(x, y, cx, cy):
+        return -0.5 * (((x - cx) / 0.5) ** 2 + ((y - cy) / 0.25) ** 2)
+
+    gx = np.linspace(-2.5, 6.5, 100)
+    gy = np.linspace(-2.5, 6.5, 100)
+    X, Y = np.meshgrid(gx, gy)
+    L1 = like(X, Y, 2.0, 1.1)
+    L2 = like(X, Y, 2.3, 1.25)
+    inner = np.sort(L1[20:-20, 20:-20].ravel())
+    levels = list(inner[:: max(1, inner.size // (nlevels + 2) - 1)])[2:2 + nlevels]
+
+    rng = np.random.default_rng(seed)
+    px = rng.uniform(-2, 6, size=npoints)
+    py = rng.uniform(-2, 6, size=npoints)
+    l1 = like(px, py, 2.0, 1.1)
+    l2 = like(px, py, 2.3, 1.25)
+    outputs = []
+    for i, level in enumerate(levels):
+        m1, m2 = l1 > level, l2 > level
+        both = m1 & m2
+        only1 = m1 & ~m2
+        only2 = m2 & ~m1
+        plt.figure(figsize=(6, 2.4), frameon=False)
+        plt.axis("off")
+        plt.plot(px[both][:nlive], py[both][:nlive], ".", color="k",
+                 label="shared")
+        plt.plot(px[only1][:nlive], py[only1][:nlive], "x", color="c")
+        plt.plot(px[only2][:nlive], py[only2][:nlive], "+", color="m")
+        plt.contour(X, Y, L1, [level], colors=["c"], linestyles=[":"])
+        plt.contour(X, Y, L2, [level], colors=["m"], linestyles=[":"])
+        path = f"{path_prefix}_{i + 1}.pdf"
+        plt.savefig(path, bbox_inches="tight")
+        plt.close()
+        outputs.append(path)
+    return outputs

@@ -27,6 +27,12 @@ def test_gen_fit_check_refine_roundtrip(tmp_path, monkeypatch, capsys):
     text = capsys.readouterr().out
     assert "logZ[0]" in text and "dataset 1:" in text
 
+    cli.main(["plot-posterior", out_file, "--out", "post.pdf"])
+    assert os.path.exists("post.pdf")
+    cli.main(["plot-muse-posterior", out_file, "--min-finite", "10",
+              "--size", "500", "--prefix", "mp"])
+    assert os.path.exists("mp_1.pdf")
+
     cli.main(["refine", "d.hdf5", out_file,
               "--num-warmup", "40", "--num-samples", "40",
               "--vi-steps", "60", "--max-datasets", "2"])

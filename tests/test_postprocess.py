@@ -68,3 +68,38 @@ def test_muse_maps(tmp_path):
     assert np.isfinite(maps["logZ"].ravel()[flat_positions]).all()
     assert np.isnan(maps["logZ"].ravel()[1])
     assert (tmp_path / "m_logZ.pdf").exists()
+
+def test_plot_corner(tmp_path):
+    rng = np.random.default_rng(2)
+    s = rng.normal(size=(500, 3))
+    fig = pp.plot_corner(s, labels=["a", "b", "c"],
+                         path=str(tmp_path / "corner.pdf"))
+    assert (tmp_path / "corner.pdf").exists()
+
+
+def test_plot_muse_posterior(tmp_path):
+    # D=3, ndim=5, all rows finite -> min_finite=10 selects all datasets
+    out = _fake_out(niter=64, D=3, ndim=5, seed=3)
+    done = pp.plot_muse_posterior(
+        out, min_finite=10, size=2000,
+        path_prefix=str(tmp_path / "mp"),
+        transforms={2: np.abs},
+        rng=np.random.default_rng(0),
+    )
+    assert done == [0, 1, 2]
+    assert (tmp_path / "mp_1.pdf").exists()
+    assert (tmp_path / "mp_3.pdf").exists()
+    # raising the finite-row threshold skips everything (plotmuseposterior.py:18)
+    assert pp.plot_muse_posterior(
+        out, min_finite=10_000, path_prefix=str(tmp_path / "skip")) == []
+
+
+def test_region_demo_plots(tmp_path):
+    outs = pp.plot_region_demo(path_prefix=str(tmp_path / "pc"),
+                               nlive=50, nlevels=2, npoints=3000)
+    assert (tmp_path / "pc.pdf").exists()
+    assert len(outs) >= 1
+
+    outs2 = pp.plot_joint_region_demo(path_prefix=str(tmp_path / "pj"),
+                                      nlive=50, nlevels=2, npoints=3000)
+    assert len(outs2) >= 1

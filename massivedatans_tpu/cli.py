@@ -49,10 +49,20 @@ def cmd_fit(args):
     )
     x, y = load_spectra(args.data, args.ndata)
     problem = make_gaussline_problem(x, y, noise_level=args.noise_level)
+    mesh = None
+    if args.devices > 1 or args.model_parallel > 1:
+        import jax
+
+        from massivedatans_tpu.parallel import make_mesh
+
+        devs = jax.devices()
+        n = args.devices if args.devices > 1 else len(devs)
+        mesh = make_mesh(devs[:n], model_parallel=args.model_parallel)
+        print(f"mesh: {dict(mesh.shape)}", file=sys.stderr)
     print(f"fitting {problem.ndata} datasets, nlive={cfg.nlive_points}, "
           f"constrainer={cfg.constrainer}", file=sys.stderr)
     result = multi_nested_integrator(
-        problem, cfg, progress=not args.quiet,
+        problem, cfg, progress=not args.quiet, mesh=mesh,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
     )
@@ -120,6 +130,12 @@ def main(argv=None):
                         "(new capability; the reference loses a crashed run)")
     f.add_argument("--checkpoint-every", type=int, default=10,
                    help="chunks between state checkpoints")
+    f.add_argument("--devices", type=int, default=1,
+                   help="shard datasets over this many devices "
+                        "(a jax.sharding Mesh; >1 enables the mesh path)")
+    f.add_argument("--model-parallel", type=int, default=1,
+                   help="also shard the spectral axis over this many "
+                        "devices (2-D data x model mesh, the SP/CP analog)")
     f.set_defaults(fn=cmd_fit)
 
     c = sub.add_parser("check", help="summarize output files (checkoutput.py)")

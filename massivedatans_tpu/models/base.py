@@ -47,9 +47,26 @@ class Problem:
     loglike_paired_fn: Any = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # optional model-parallel kernel ``loglike_mp_fn(data, x[B, ndim],
+    # model_axis_name) -> L[B, D]``: the spectral axis nx is sharded over a
+    # mesh axis (the SP/CP analog, survey §2/§5 — relevant for MUSE nx=3600);
+    # the kernel contracts its local nx slice and psums the partial sums.
+    # Activated only when the engine runs under a mesh with a >1 "model"
+    # axis (parallel/sharded.py); inert otherwise.
+    loglike_mp_fn: Any = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     def loglike(self, x_batch):
         return self.loglike_batch(self.data, x_batch)
+
+    def loglike_sharded(self, x_batch, model_axis_name=None):
+        """Likelihood with optional spectral-axis model parallelism: under a
+        2-D (data, model) mesh the nx contraction is computed from each
+        shard's local slice and psum-reduced over ``model_axis_name``."""
+        if model_axis_name is not None and self.loglike_mp_fn is not None:
+            return self.loglike_mp_fn(self.data, x_batch, model_axis_name)
+        return self.loglike(x_batch)
 
     def loglike_paired(self, x):
         """``L[d] = loglike(x[d])[d]`` for ``x[D, ndim]``.
@@ -67,3 +84,12 @@ class Problem:
 
     def with_data(self, data) -> "Problem":
         return dataclasses.replace(self, data=data)
+
+
+# data-pytree type -> fn(data, data_axis, model_axis) returning a pytree of
+# ``jax.sharding.PartitionSpec`` with the same structure as ``data``,
+# describing how the model family shards under a 2-D (data, model) mesh.
+# Model modules register themselves here; ``parallel/sharded.py`` consults it
+# when the mesh has a model axis. Unregistered models fall back to
+# dataset-only sharding.
+MODEL_PSPEC_REGISTRY: dict = {}

@@ -62,6 +62,24 @@ def chi2_loglike_batch(data: GaussLineData, x_batch):
     return -0.5 * chi2 * inv_var
 
 
+def chi2_loglike_batch_mp(data: GaussLineData, x_batch, axis_name):
+    """Model-parallel ``L[B, D]``: the wavelength grid ``x`` and spectra
+    ``y`` are sharded over mesh axis ``axis_name`` (the SP/CP analog);
+    each shard contracts its local nx slice and the partial
+    ``||ypred||^2 - 2 ypred . y`` terms are psum-reduced. ``ysq`` holds the
+    full-spectrum sums (host float64) and is applied once after the psum."""
+    ypred = jax.vmap(lambda p: gaussline_predict(data.x, p))(x_batch)
+    cross = jnp.dot(
+        ypred, data.y,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    ssp = jnp.sum(jnp.square(ypred), axis=1)
+    part = ssp[:, None] - 2.0 * cross  # [B, D] local partial
+    chi2 = jax.lax.psum(part, axis_name) + data.ysq[None, :]
+    return -0.5 * chi2 / jnp.square(data.noise_level)
+
+
 def chi2_loglike_paired(data: GaussLineData, x):
     """``L[d]`` of dataset d under its own parameter vector ``x[d]`` —
     O(D * nx) (one curve per dataset), for the gradient backends (infer/)."""
@@ -95,4 +113,22 @@ def make_gaussline_problem(x_grid, y, noise_level=0.01) -> Problem:
         ndata=ndata,
         name="gaussline",
         loglike_paired_fn=chi2_loglike_paired,
+        loglike_mp_fn=chi2_loglike_batch_mp,
     )
+
+
+def _gaussline_model_pspecs(data, data_axis, model_axis):
+    """Spectral-axis sharding layout under a (data, model) mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    return GaussLineData(
+        x=P(model_axis),
+        y=P(model_axis, data_axis),
+        ysq=P(data_axis),
+        noise_level=P(),
+    )
+
+
+from massivedatans_tpu.models.base import MODEL_PSPEC_REGISTRY  # noqa: E402
+
+MODEL_PSPEC_REGISTRY[GaussLineData] = _gaussline_model_pspecs

@@ -57,6 +57,29 @@ def scaled_loglike_batch(data: MuseLikeData, x_batch):
     return jnp.where(dead[:, None], -1e100, L)
 
 
+def scaled_loglike_batch_mp(data: MuseLikeData, x_batch, axis_name):
+    """Model-parallel scale-marginalized likelihood: ``y_over_v``/``inv_v``
+    are sharded on the spectral axis over mesh axis ``axis_name`` (the SP/CP
+    analog — MUSE's nx=3600 is the long axis, survey §5). Template synthesis
+    is cheap and runs replicated; each shard contracts its local wavelength
+    slice and the inner products ``s1``/``s2`` are psum-reduced before the
+    nonlinear best-fit-scale combination."""
+    ypred_full = predict_batch(data.md, x_batch, zsol=data.zsol)  # [B, nspec]
+    nloc = data.y_over_v.shape[0]
+    i = jax.lax.axis_index(axis_name)
+    ypred = jax.lax.dynamic_slice_in_dim(ypred_full, i * nloc, nloc, axis=1)
+    s1p = jnp.dot(ypred, data.y_over_v, precision=_PREC,
+                  preferred_element_type=jnp.float32)
+    s2p = jnp.dot(jnp.square(ypred), data.inv_v, precision=_PREC,
+                  preferred_element_type=jnp.float32)
+    s1, s2 = jax.lax.psum((s1p, s2p), axis_name)
+    s2 = s2 + 1e-10
+    s = s1 / s2
+    chi2 = data.yy[None, :] - 2.0 * s * s1 + jnp.square(s) * s2
+    dead = jnp.all(ypred_full == 0.0, axis=1)
+    return jnp.where(dead[:, None], -1e100, -0.5 * chi2)
+
+
 def scaled_loglike_paired(data: MuseLikeData, x):
     """``L[d]`` of spaxel d under its own parameter vector ``x[d]`` —
     O(D * nspec) (one synthesis + reduction per spaxel), for the gradient
@@ -105,4 +128,25 @@ def make_muse_problem(md: MuseModelData, y, var, zsol: bool = False,
         ndata=int(y64.shape[1]),
         name=name,
         loglike_paired_fn=scaled_loglike_paired,
+        loglike_mp_fn=scaled_loglike_batch_mp,
     )
+
+
+def _muse_model_pspecs(data: MuseLikeData, data_axis, model_axis):
+    """Spectral-axis sharding layout: only the [nspec, D] data products are
+    sharded on nspec; the template grids (md) stay replicated because
+    synthesis (redshift interpolation) needs the full wavelength axis."""
+    from jax.sharding import PartitionSpec as P
+
+    return MuseLikeData(
+        md=jax.tree.map(lambda _: P(), data.md),
+        y_over_v=P(model_axis, data_axis),
+        inv_v=P(model_axis, data_axis),
+        yy=P(data_axis),
+        zsol=data.zsol,
+    )
+
+
+from massivedatans_tpu.models.base import MODEL_PSPEC_REGISTRY  # noqa: E402
+
+MODEL_PSPEC_REGISTRY[MuseLikeData] = _muse_model_pspecs

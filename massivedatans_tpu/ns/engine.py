@@ -278,7 +278,7 @@ def _column_proposals(pile_u, live_idx, empty, metric, radius, key, B: int,
 
 def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
                   sstate, cfg: RunConfig, member_capacity: int,
-                  axis_name=None):
+                  axis_name=None, model_axis_name=None):
     """Propose/evaluate/scatter until every running dataset has a queued
     candidate (reference __next__ fill loop, multi_nested_sampler.py:365-489).
 
@@ -380,7 +380,9 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
             cand_u, valid, sstate = strategy.propose(geom2, sstate, k_prop)
             src_col = jnp.full((cand_u.shape[0],), -1, jnp.int32)
         cand_x = problem.transform_batch(cand_u)
-        L = problem.loglike(cand_x)  # [B, D] — the MXU matmul
+        # [B, D] — the MXU matmul; psum over the model axis when the
+        # spectral dimension is sharded (SP/CP analog)
+        L = problem.loglike_sharded(cand_x, model_axis_name)
 
         thresh = shelves_lib.insertion_thresholds(live_bot, shelves)  # [D]
         space = shelves.count < S
@@ -435,7 +437,7 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
 
 def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
                  member_capacity: int, axis_name=None, strategy=None,
-                 geom_carry=None):
+                 geom_carry=None, model_axis_name=None):
     """One joint NS iteration: clean shelves, fill, advance every dataset,
     update the streaming evidence (reference __next__ + integrator body).
 
@@ -480,7 +482,7 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
     sstate = strategy.init_chains(geom, k_chains)
 
     state = _fill_shelves(problem, state, strategy, geom, sstate, cfg,
-                          member_capacity, axis_name)
+                          member_capacity, axis_name, model_axis_name)
 
     # --- advance: replace each dataset's worst live point (.:494-534) ---
     filled = state.shelves.count > 0
@@ -537,17 +539,22 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "member_capacity", "n_iters", "axis_name")
+    jax.jit,
+    static_argnames=(
+        "cfg", "member_capacity", "n_iters", "axis_name", "model_axis_name"
+    ),
 )
 def run_chunk(problem: Problem, state: EngineState, cfg: RunConfig,
-              member_capacity: int, n_iters: int, axis_name=None):
+              member_capacity: int, n_iters: int, axis_name=None,
+              model_axis_name=None):
     """Run ``n_iters`` NS iterations in one device dispatch."""
     return run_chunk_inner(problem, state, cfg, member_capacity, n_iters,
-                           axis_name)
+                           axis_name, model_axis_name)
 
 
 def run_chunk_inner(problem: Problem, state: EngineState, cfg: RunConfig,
-                    member_capacity: int, n_iters: int, axis_name=None):
+                    member_capacity: int, n_iters: int, axis_name=None,
+                    model_axis_name=None):
     """Un-jitted chunk body, for wrapping in shard_map (parallel/sharded.py)."""
     from massivedatans_tpu.ns.strategies import make_strategy
 
@@ -556,7 +563,7 @@ def run_chunk_inner(problem: Problem, state: EngineState, cfg: RunConfig,
     def step(carry, _):
         st, geom = carry
         return ns_iteration(problem, st, cfg, member_capacity, axis_name,
-                            strategy, geom)
+                            strategy, geom, model_axis_name)
 
     # build the initial geometry so the scan carry has a fixed structure
     key0, k_geom0 = jax.random.split(state.key)

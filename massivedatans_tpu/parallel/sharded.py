@@ -32,11 +32,33 @@ from massivedatans_tpu.ns.region import Metric, Region
 from massivedatans_tpu.ns.shelves import Shelves
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
-def make_mesh(devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+def make_mesh(devices=None, model_parallel: int = 1) -> Mesh:
+    """1-D dataset mesh, or — with ``model_parallel`` > 1 — a 2-D
+    (data, model) mesh that additionally shards the spectral axis nx across
+    ``model_parallel`` devices (the SP/CP analog, survey §5: relevant for
+    MUSE's nx=3600). Models opt in via ``Problem.loglike_mp_fn`` +
+    ``MODEL_PSPEC_REGISTRY``; the engine's collectives stay on the data
+    axis, the likelihood psums its partial contractions over the model
+    axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if model_parallel <= 1:
+        return Mesh(devices, (DATA_AXIS,))
+    if devices.size % model_parallel:
+        raise ValueError(
+            f"{devices.size} devices not divisible by "
+            f"model_parallel={model_parallel}"
+        )
+    return Mesh(devices.reshape(-1, model_parallel), (DATA_AXIS, MODEL_AXIS))
+
+
+def mesh_model_axis(mesh: Mesh):
+    """The model axis name if the mesh shards it, else None."""
+    if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
+        return MODEL_AXIS
+    return None
 
 
 def state_pspecs() -> EngineState:
@@ -70,9 +92,15 @@ def dead_pspecs() -> DeadChunk:
     )
 
 
-def problem_pspecs(problem: Problem):
+def problem_pspecs(problem: Problem, mesh: Mesh | None = None):
     """PartitionSpec pytree for a Problem: any array with a trailing
-    dataset-sized axis is sharded on it; everything else replicated."""
+    dataset-sized axis is sharded on it; everything else replicated. Under a
+    2-D (data, model) mesh, models registered in ``MODEL_PSPEC_REGISTRY``
+    additionally shard their spectral axis on the model axis."""
+    import dataclasses
+
+    from massivedatans_tpu.models.base import MODEL_PSPEC_REGISTRY
+
     D = problem.ndata
 
     def spec_for(leaf):
@@ -83,11 +111,22 @@ def problem_pspecs(problem: Problem):
             return P(*([DATA_AXIS] + [None] * (len(shape) - 1)))
         return P()
 
-    return jax.tree.map(spec_for, problem)
+    specs = jax.tree.map(spec_for, problem)
+    if mesh is not None and mesh_model_axis(mesh) is not None:
+        fn = MODEL_PSPEC_REGISTRY.get(type(problem.data))
+        if fn is None:
+            raise ValueError(
+                f"mesh has a model axis but {type(problem.data).__name__} "
+                "has no model-parallel sharding registered"
+            )
+        specs = dataclasses.replace(
+            specs, data=fn(problem.data, DATA_AXIS, MODEL_AXIS)
+        )
+    return specs
 
 
 def shard_problem(problem: Problem, mesh: Mesh) -> Problem:
-    specs = problem_pspecs(problem)
+    specs = problem_pspecs(problem, mesh)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), problem, specs
     )
@@ -104,7 +143,7 @@ def make_sharded_run_chunk(problem: Problem, mesh: Mesh, cfg: RunConfig,
                            member_capacity: int, n_iters: int):
     """Build a jitted dataset-sharded chunk runner with the same signature
     behavior as engine.run_chunk(problem, state)."""
-    p_specs = problem_pspecs(problem)
+    p_specs = problem_pspecs(problem, mesh)
     s_specs = state_pspecs()
 
     inner = functools.partial(
@@ -113,6 +152,7 @@ def make_sharded_run_chunk(problem: Problem, mesh: Mesh, cfg: RunConfig,
         member_capacity=member_capacity,
         n_iters=n_iters,
         axis_name=DATA_AXIS,
+        model_axis_name=mesh_model_axis(mesh),
     )
 
     mapped = jax.shard_map(

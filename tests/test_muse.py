@@ -179,3 +179,40 @@ def test_muse_end_to_end(cube_files, tpl_files, tmp_path):
 
     out = read_results(str(tmp_path / "muse_out"))
     assert out["logZ"].shape == (8,)
+
+
+def test_muse_model_parallel_likelihood(tpl_files):
+    """Spectral-axis sharding (nx=3600 is MUSE's long axis): psum-reduced
+    s1/s2 partial inner products must match the single-device kernel."""
+    from jax.sharding import PartitionSpec as P
+
+    from massivedatans_tpu.parallel.sharded import (
+        MODEL_AXIS, make_mesh, problem_pspecs, shard_problem,
+    )
+
+    rng = np.random.default_rng(4)
+    md = load_template_grid(tpl_files, zlo=0.0, zhi=0.5)
+    nspec = int(md.data_wl.shape[0])
+    D, B = 8, 8
+    y = rng.normal(1.0, 0.1, size=(nspec, D))
+    var = np.full((nspec, D), 0.01)
+    y[30:60, 2] = np.nan
+    var[30:60, 2] = np.nan
+    problem = make_muse_problem(md, y, var)
+
+    u = rng.uniform(size=(B, 5)).astype(np.float32)
+    xb = np.asarray(problem.transform_batch(jnp.asarray(u)))
+    want = np.asarray(problem.loglike(jnp.asarray(xb)))
+
+    mesh = make_mesh(model_parallel=2)
+    p_specs = problem_pspecs(problem, mesh)
+    got = jax.jit(
+        jax.shard_map(
+            lambda pr, x: pr.loglike_sharded(x, MODEL_AXIS),
+            mesh=mesh,
+            in_specs=(p_specs, P()),
+            out_specs=P(None, "data"),
+            check_vma=False,
+        )
+    )(shard_problem(problem, mesh), jnp.asarray(xb))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-3)

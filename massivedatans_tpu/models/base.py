@@ -56,6 +56,13 @@ class Problem:
     loglike_mp_fn: Any = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # optional ``predict_fn(data, x[ndim]) -> ypred[nx]``: one model curve,
+    # for best-fit/posterior-predictive plots (postprocess.plot_bestfit —
+    # the reference emits best-fit plots from inside the MUSE likelihood,
+    # musefuse.py:385-404; here they render post-hoc from recorded samples)
+    predict_fn: Any = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     def loglike(self, x_batch):
         return self.loglike_batch(self.data, x_batch)
@@ -81,6 +88,12 @@ class Problem:
 
     def transform_batch(self, u_batch):
         return jax.vmap(self.prior_transform)(u_batch)
+
+    def predict(self, x):
+        """One model curve for parameter vector ``x`` (None-capable)."""
+        if self.predict_fn is None:
+            return None
+        return self.predict_fn(self.data, x)
 
     def with_data(self, data) -> "Problem":
         return dataclasses.replace(self, data=data)

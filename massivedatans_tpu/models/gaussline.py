@@ -92,6 +92,11 @@ def chi2_loglike_paired(data: GaussLineData, x):
     return -0.5 * chi2 / jnp.square(data.noise_level)
 
 
+def gaussline_predict_one(data: GaussLineData, params):
+    """One model curve on the data grid (for best-fit plots)."""
+    return gaussline_predict(data.x, params)
+
+
 def make_gaussline_problem(x_grid, y, noise_level=0.01) -> Problem:
     """Build the line-fit problem from a ``[nx]`` grid and ``[nx, D]`` spectra."""
     import numpy as np
@@ -114,6 +119,7 @@ def make_gaussline_problem(x_grid, y, noise_level=0.01) -> Problem:
         name="gaussline",
         loglike_paired_fn=chi2_loglike_paired,
         loglike_mp_fn=chi2_loglike_batch_mp,
+        predict_fn=gaussline_predict_one,
     )
 
 

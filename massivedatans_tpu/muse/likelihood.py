@@ -94,6 +94,13 @@ def scaled_loglike_paired(data: MuseLikeData, x):
     return jnp.where(dead, -1e100, -0.5 * chi2)
 
 
+def scaled_predict_one(data: MuseLikeData, params):
+    """One (unscaled) template spectrum on the data grid; the best-fit
+    amplitude against a given spaxel is ``s = s1/s2`` (cmuselike.c:48-64),
+    applied by the plotting layer."""
+    return predict_batch(data.md, params[None, :], zsol=data.zsol)[0]
+
+
 def make_muse_problem(md: MuseModelData, y, var, zsol: bool = False,
                       name: str = "muse") -> Problem:
     """Build the MUSE Problem from [nspec, D] flux and variance arrays."""
@@ -129,6 +136,7 @@ def make_muse_problem(md: MuseModelData, y, var, zsol: bool = False,
         name=name,
         loglike_paired_fn=scaled_loglike_paired,
         loglike_mp_fn=scaled_loglike_batch_mp,
+        predict_fn=scaled_predict_one,
     )
 
 

@@ -361,3 +361,81 @@ def plot_joint_region_demo(path_prefix="plotjointcontour", nlive=100,
         plt.close()
         outputs.append(path)
     return outputs
+
+
+def _best_sample(out: dict, d: int):
+    """Index and parameters of dataset ``d``'s highest-likelihood sample."""
+    L = out["L"][:, d].astype(np.float64)
+    L[~np.isfinite(L)] = -np.inf
+    i = int(np.argmax(L))
+    return i, out["x"][i, d, :]
+
+
+def plot_bestfit(out: dict, problem, datasets=None, path_prefix="bestfit"):
+    """Best-fit model curve vs observed spectrum per dataset. The reference
+    emits these from inside the MUSE likelihood whenever a spaxel's Lmax
+    improves (musefuse.py:385-404,437-460); here they render post-hoc from
+    the recorded samples via ``Problem.predict``."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    data = problem.data
+    grid = np.asarray(data.x) if hasattr(data, "x") else None
+    obs = np.asarray(data.y) if hasattr(data, "y") else None
+    outputs = []
+    for d in datasets if datasets is not None else range(out["logZ"].shape[0]):
+        i, xbest = _best_sample(out, d)
+        ypred = problem.predict(xbest)
+        if ypred is None:
+            return []
+        ypred = np.asarray(ypred)
+        g = grid if grid is not None else np.arange(ypred.shape[0])
+        plt.figure(figsize=(6, 3))
+        if obs is not None:
+            plt.plot(g, obs[:, d], color="0.6", lw=0.7, label="data")
+        plt.plot(g, ypred, color="r", lw=1.2,
+                 label=f"best fit (L={out['L'][i, d]:.1f})")
+        plt.xlabel("x")
+        plt.legend(loc="best")
+        path = f"{path_prefix}_{d}.pdf"
+        plt.savefig(path, bbox_inches="tight")
+        plt.close()
+        outputs.append(path)
+    return outputs
+
+
+def plot_muse_bestfit(out: dict, problem, datasets=None,
+                      path_prefix="musebestfit"):
+    """MUSE best-fit spectra with the analytically-marginalized amplitude
+    re-applied: ``s = (m . y/var) / (m^2 . 1/var)`` (cmuselike.c:48-64,
+    musefuse.py:385-404)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    data = problem.data
+    wl = np.asarray(data.md.data_wl)
+    y_over_v = np.asarray(data.y_over_v)
+    inv_v = np.asarray(data.inv_v)
+    outputs = []
+    for d in datasets if datasets is not None else range(out["logZ"].shape[0]):
+        i, xbest = _best_sample(out, d)
+        m = np.asarray(problem.predict(xbest))
+        s1 = float(m @ y_over_v[:, d])
+        s2 = float((m ** 2) @ inv_v[:, d]) + 1e-10
+        s = s1 / s2
+        good = inv_v[:, d] > 0
+        yobs = np.where(good, y_over_v[:, d] / np.maximum(inv_v[:, d], 1e-30),
+                        np.nan)
+        plt.figure(figsize=(7, 3))
+        plt.plot(wl, yobs, color="0.6", lw=0.7, label="spaxel")
+        plt.plot(wl, s * m, color="r", lw=1.2,
+                 label=f"best fit s={s:.3g} (L={out['L'][i, d]:.1f})")
+        plt.xlabel("wavelength [nm]")
+        plt.legend(loc="best")
+        path = f"{path_prefix}_{d}.pdf"
+        plt.savefig(path, bbox_inches="tight")
+        plt.close()
+        outputs.append(path)
+    return outputs

@@ -216,3 +216,26 @@ def test_muse_model_parallel_likelihood(tpl_files):
         )
     )(shard_problem(problem, mesh), jnp.asarray(xb))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-3)
+
+
+def test_plot_muse_bestfit(tpl_files, tmp_path):
+    from massivedatans_tpu import postprocess as pp
+
+    rng = np.random.default_rng(6)
+    md = load_template_grid(tpl_files, zlo=0.0, zhi=0.5)
+    nspec = int(md.data_wl.shape[0])
+    D = 3
+    y = rng.normal(1.0, 0.1, size=(nspec, D))
+    var = np.full((nspec, D), 0.01)
+    problem = make_muse_problem(md, y, var)
+    niter = 16
+    out = dict(
+        logZ=rng.normal(-100, 5, D),
+        x=rng.uniform(0.1, 0.4, size=(niter, D, 5)).astype(np.float32),
+        L=rng.normal(-50, 3, size=(niter, D)).astype(np.float32),
+        w=np.zeros((niter, D), np.float32),
+    )
+    paths = pp.plot_muse_bestfit(out, problem, datasets=[1],
+                                 path_prefix=str(tmp_path / "mbf"))
+    assert paths == [str(tmp_path / "mbf") + "_1.pdf"]
+    assert (tmp_path / "mbf_1.pdf").exists()

@@ -103,3 +103,18 @@ def test_region_demo_plots(tmp_path):
     outs2 = pp.plot_joint_region_demo(path_prefix=str(tmp_path / "pj"),
                                       nlive=50, nlevels=2, npoints=3000)
     assert len(outs2) >= 1
+
+
+def test_plot_bestfit_gaussline(tmp_path):
+    import jax
+
+    from massivedatans_tpu.datagen.generators import gen_horns
+    from massivedatans_tpu.models.gaussline import make_gaussline_problem
+
+    data = gen_horns(8, seed=9)
+    problem = make_gaussline_problem(data["x"], data["y"], data["noise_level"])
+    out = _fake_out(niter=32, D=8, ndim=3, seed=4)
+    paths = pp.plot_bestfit(out, problem, datasets=[0, 3],
+                            path_prefix=str(tmp_path / "bf"))
+    assert len(paths) == 2
+    assert (tmp_path / "bf_3.pdf").exists()

@@ -156,6 +156,10 @@ def main(argv=None):
     m.add_argument("--max-samples", type=int, default=100000)
     m.add_argument("--out", default=None)
     m.add_argument("--checkpoint-dir", default=None)
+    m.add_argument("--devices", type=int, default=1,
+                   help="shard spaxels over this many devices")
+    m.add_argument("--model-parallel", type=int, default=1,
+                   help="also shard the wavelength axis (2-D mesh)")
     m.set_defaults(fn=cmd_musefit)
 
     r = sub.add_parser(
@@ -219,12 +223,21 @@ def cmd_musefit(args):
     maxdata = args.maxdata
     if maxdata is None:
         maxdata = int(os.environ.get("MAXDATA", 0))
+    mesh = None
+    if args.devices > 1 or args.model_parallel > 1:
+        import jax
+
+        from massivedatans_tpu.parallel import make_mesh
+
+        devs = jax.devices()
+        n = args.devices if args.devices > 1 else len(devs)
+        mesh = make_mesh(devs[:n], model_parallel=args.model_parallel)
     result, problem, cube = run_musefit(
         args.cube, args.region, args.zlo, args.zhi, args.templates,
         model=model, maxdata=maxdata,
         nlive=args.nlive or int(os.environ.get("NLIVE_POINTS", 400)),
         max_samples=args.max_samples, out_prefix=args.out,
-        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_dir=args.checkpoint_dir, mesh=mesh,
     )
     print("logZ = %.1f +- %.1f" % (result.logZ[0], result.logZerr[0]))
     print("ndraws:", result.ndraws)

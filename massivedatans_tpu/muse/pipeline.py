@@ -103,7 +103,7 @@ def run_musefit(cube_path: str, region_path: str, zlo: float, zhi: float,
                 nlive: int = 400, tolerance: float = 0.5,
                 max_samples: int = 100000, out_prefix: str | None = None,
                 cfg_overrides: dict | None = None, progress: bool = True,
-                checkpoint_dir: str | None = None):
+                checkpoint_dir: str | None = None, mesh=None):
     """Reference musefuse.py main flow; returns (result, problem, cube)."""
     from massivedatans_tpu.config import RunConfig
     from massivedatans_tpu.muse.likelihood import make_muse_problem
@@ -119,6 +119,7 @@ def run_musefit(cube_path: str, region_path: str, zlo: float, zhi: float,
         **(cfg_overrides or {}),
     )
     result = multi_nested_integrator(problem, cfg, progress=progress,
+                                     mesh=mesh,
                                      checkpoint_dir=checkpoint_dir)
 
     if out_prefix is None:

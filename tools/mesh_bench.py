@@ -9,6 +9,10 @@ total datasets/hour grows linearly with devices.
 
     python tools/mesh_bench.py [per_device_datasets] [device_counts...]
 
+Set MESH_MODEL_PARALLEL=m to additionally shard the spectral axis over m
+devices on each multi-device row (2-D data x model mesh, the SP/CP analog):
+strong scaling of the likelihood contraction at fixed datasets-per-row.
+
 On this container it runs on the virtual 8-device CPU mesh (set
 XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu),
 which validates the protocol and bounds the collective overhead; on real
@@ -50,7 +54,9 @@ def bench_one(n_dev: int, data) -> dict:
         def run(pr, st):
             return engine_lib.run_chunk(pr, st, cfg, mc, CHUNK)
     else:
-        mesh = make_mesh(jax.devices()[:n_dev])
+        mp = int(os.environ.get("MESH_MODEL_PARALLEL", "1"))
+        mp = mp if n_dev % mp == 0 else 1
+        mesh = make_mesh(jax.devices()[:n_dev], model_parallel=mp)
         problem = shard_problem(problem, mesh)
         state = shard_state(state, mesh)
         run = make_sharded_run_chunk(problem, mesh, cfg, mc, CHUNK)
@@ -63,7 +69,10 @@ def bench_one(n_dev: int, data) -> dict:
     jax.block_until_ready(dead.L)
     dt = (time.time() - t0) / REPS
     return dict(
-        n_dev=n_dev, D=D, s_per_chunk=round(dt, 4),
+        n_dev=n_dev, D=D,
+        model_parallel=int(os.environ.get("MESH_MODEL_PARALLEL", "1"))
+        if n_dev > 1 else 1,
+        s_per_chunk=round(dt, 4),
         iters_per_s=round(CHUNK / dt, 2),
         datasets_x_iters_per_s=round(D * CHUNK / dt, 1),
     )

@@ -28,7 +28,7 @@ from massivedatans_tpu.config import RunConfig
 from massivedatans_tpu.models.base import Problem
 from massivedatans_tpu.ns import engine as engine_lib
 from massivedatans_tpu.ns.engine import EngineState
-from massivedatans_tpu.utils.progress import ProgressReporter
+from massivedatans_tpu.utils.progress import ProgressReporter, shelf_sparkline
 
 log = logging.getLogger("massivedatans_tpu")
 
@@ -188,6 +188,7 @@ def multi_nested_integrator(
     final_H = np.zeros(D, np.float64)
     rep = None
     debug_timing = bool(int(os.environ.get("MDT_DEBUG_TIMING", "0")))
+    show_shelves = bool(int(os.environ.get("MDT_SHELF_STATUS", "0")))
     # tracing hook (survey §5): MDT_PROFILE_DIR=<dir> captures a jax
     # profiler trace of the first few chunks for xprof/tensorboard
     profile_dir = os.environ.get("MDT_PROFILE_DIR")
@@ -261,6 +262,12 @@ def multi_nested_integrator(
             running=int(running.sum()),
             logZ0=float(np.logaddexp(rep["logZ"][0], rep["rem_logZ"][0]))
             if D else 0.0,
+            # shelf-occupancy sparkline (reference shelf_status). Opt-in:
+            # reading shelves.count costs one extra device fetch per chunk,
+            # which matters on a high-latency tunneled TPU
+            shelves=shelf_sparkline(
+                np.asarray(state.shelves.count), cfg.shelf_capacity
+            ) if show_shelves else "",
         )
         if checkpoint_dir is not None and (
             chunk_index % checkpoint_every == 0 or not running.any()

@@ -54,7 +54,8 @@ class ProgressReporter:
         self.eta = AdaptiveETA()
         self._last_print = 0.0
 
-    def update(self, it: int, ndraws: int, running: int, logZ0: float):
+    def update(self, it: int, ndraws: int, running: int, logZ0: float,
+               shelves: str = ""):
         if not self.log_enabled:
             return
         now = time.time()
@@ -67,6 +68,8 @@ class ProgressReporter:
             f"| it {it} | draws {ndraws} | {running}/{self.ndata} running "
             f"| lnZ[0] = {logZ0:.2f} | {rate:.1f} it/s |"
         )
+        if shelves:
+            msg += f" [{shelves}]"
         end = "\r" if self.enabled and running > 0 else "\n"
         print(msg, end=end, file=sys.stderr, flush=True)
 
@@ -78,3 +81,26 @@ class ProgressReporter:
             f"({ndraws / max(duration, 1e-9):.0f} evals/s)",
             file=sys.stderr,
         )
+
+
+_SPARK_LEVELS = " ▁▂▃▄▅▆▇█"
+
+
+def shelf_sparkline(counts, capacity: int, width: int = 64) -> str:
+    """Unicode shelf-occupancy sparkline (reference ``shelf_status``,
+    multi_nested_sampler.py:26-36): one glyph per dataset, block-averaged
+    down to ``width`` characters for large D."""
+    import numpy as np
+
+    counts = np.asarray(counts, float)
+    if counts.size == 0 or capacity <= 0:
+        return ""
+    if counts.size > width:
+        pad = (-counts.size) % width
+        counts = np.pad(counts, (0, pad), constant_values=np.nan)
+        with np.errstate(invalid="ignore"):
+            counts = np.nanmean(counts.reshape(width, -1), axis=1)
+        counts = np.nan_to_num(counts)  # blocks that were entirely padding
+    frac = np.clip(counts / capacity, 0.0, 1.0)
+    idx = np.round(frac * (len(_SPARK_LEVELS) - 1)).astype(int)
+    return "".join(_SPARK_LEVELS[i] for i in idx)

@@ -60,3 +60,16 @@ def test_runconfig_env_flags(monkeypatch):
     assert cfg.use_groups is False
     # overrides beat env
     assert RunConfig.from_env(nlive_points=9).nlive_points == 9
+
+
+def test_shelf_sparkline():
+    """Reference shelf_status parity (multi_nested_sampler.py:26-36)."""
+    from massivedatans_tpu.utils.progress import shelf_sparkline
+
+    s = shelf_sparkline([0, 4, 8], capacity=8)
+    assert len(s) == 3
+    assert s[0] == " " and s[2] == "█"
+    # large D downsampled to the display width
+    s = shelf_sparkline(np.arange(1000) % 9, capacity=8, width=64)
+    assert len(s) == 64
+    assert shelf_sparkline([], 8) == ""

@@ -201,6 +201,17 @@ def main(argv=None):
     pp_.add_argument("--out", default="posterior.pdf")
     pp_.set_defaults(fn=cmd_plot_posterior)
 
+    pb = sub.add_parser(
+        "plot-bestfit",
+        help="best-fit model vs data per dataset (musefuse.py emits these "
+             "from inside the likelihood; here post-hoc)")
+    pb.add_argument("data")
+    pb.add_argument("output")
+    pb.add_argument("--datasets", type=int, nargs="+", default=[0])
+    pb.add_argument("--noise-level", type=float, default=0.01)
+    pb.add_argument("--prefix", default="bestfit")
+    pb.set_defaults(fn=cmd_plot_bestfit)
+
     pm = sub.add_parser(
         "plot-muse-posterior",
         help="per-spaxel posterior corner plots (plotmuseposterior.py)")
@@ -323,6 +334,19 @@ def cmd_plot_posterior(args):
     out = read_results(args.output)
     pp.plot_posterior(out, d=args.dataset, path=args.out)
     print("wrote", args.out)
+
+
+def cmd_plot_bestfit(args):
+    from massivedatans_tpu import postprocess as pp
+    from massivedatans_tpu.io.hdf5io import load_spectra, read_results
+    from massivedatans_tpu.models.gaussline import make_gaussline_problem
+
+    out = read_results(args.output)
+    x, y = load_spectra(args.data, out["logZ"].shape[0])
+    problem = make_gaussline_problem(x, y, noise_level=args.noise_level)
+    paths = pp.plot_bestfit(out, problem, datasets=args.datasets,
+                            path_prefix=args.prefix)
+    print(f"wrote {len(paths)} plots -> {args.prefix}_*.pdf")
 
 
 def cmd_plot_muse_posterior(args):

@@ -19,6 +19,34 @@ import sys
 import numpy as np
 
 
+def _make_cli_mesh(args):
+    """Device mesh from --devices/--model-parallel (None = single device).
+
+    ``--devices N`` is the size of the DATASET axis; with
+    ``--model-parallel M`` the mesh uses N*M devices total (data=N,
+    model=M). ``--model-parallel M`` alone shards datasets over the
+    remaining ``len(devices) // M``. Requesting more devices than exist is
+    an error (no silent truncation)."""
+    if args.devices <= 1 and args.model_parallel <= 1:
+        return None
+    import jax
+
+    from massivedatans_tpu.parallel import make_mesh
+
+    devs = jax.devices()
+    mp = max(1, args.model_parallel)
+    n_data = args.devices if args.devices > 1 else max(1, len(devs) // mp)
+    need = n_data * mp
+    if need > len(devs):
+        raise SystemExit(
+            f"requested mesh data={n_data} x model={mp} = {need} devices, "
+            f"but only {len(devs)} are available"
+        )
+    mesh = make_mesh(devs[:need], model_parallel=mp)
+    print(f"mesh: {dict(mesh.shape)}", file=sys.stderr)
+    return mesh
+
+
 def cmd_gen(args):
     from massivedatans_tpu.datagen.generators import (
         GENERATORS, FILENAME_STEMS, save_dataset,
@@ -49,16 +77,7 @@ def cmd_fit(args):
     )
     x, y = load_spectra(args.data, args.ndata)
     problem = make_gaussline_problem(x, y, noise_level=args.noise_level)
-    mesh = None
-    if args.devices > 1 or args.model_parallel > 1:
-        import jax
-
-        from massivedatans_tpu.parallel import make_mesh
-
-        devs = jax.devices()
-        n = args.devices if args.devices > 1 else len(devs)
-        mesh = make_mesh(devs[:n], model_parallel=args.model_parallel)
-        print(f"mesh: {dict(mesh.shape)}", file=sys.stderr)
+    mesh = _make_cli_mesh(args)
     print(f"fitting {problem.ndata} datasets, nlive={cfg.nlive_points}, "
           f"constrainer={cfg.constrainer}", file=sys.stderr)
     result = multi_nested_integrator(
@@ -234,15 +253,7 @@ def cmd_musefit(args):
     maxdata = args.maxdata
     if maxdata is None:
         maxdata = int(os.environ.get("MAXDATA", 0))
-    mesh = None
-    if args.devices > 1 or args.model_parallel > 1:
-        import jax
-
-        from massivedatans_tpu.parallel import make_mesh
-
-        devs = jax.devices()
-        n = args.devices if args.devices > 1 else len(devs)
-        mesh = make_mesh(devs[:n], model_parallel=args.model_parallel)
+    mesh = _make_cli_mesh(args)
     result, problem, cube = run_musefit(
         args.cube, args.region, args.zlo, args.zhi, args.templates,
         model=model, maxdata=maxdata,

@@ -183,14 +183,32 @@ def unique_members(live_idx, col_mask, capacity: int, key, axis_name=None):
 
 
 def _build_geometry_from(strategy, state: EngineState, col_mask, key,
-                         cfg: RunConfig, member_capacity: int, axis_name=None):
+                         cfg: RunConfig, member_capacity: int, axis_name=None,
+                         carry_cap: bool = True):
+    """Build the strategy geometry from the selected datasets' live points.
+
+    ``carry_cap``: whether to pass the previous *global* build's force-shrink
+    cap (``prev_scale``/``prev_radius``). The reference applies the cap only
+    across rebuilds of the SAME constrainer instance (hiermetriclearn.py:
+    88-91); a focused rebuild corresponds to a FRESH per-mask constrainer
+    (cachedconstrainer.py:92-109, prev_maxdistance=None), so its — typically
+    larger — subset radius must not be clamped by the global one. The cap is
+    likewise dropped when the member set overflowed capacity: the random
+    subsample is sparser than the full live set, and its bootstrapped radius
+    must be allowed to GROW to keep the union-of-balls covering the contour.
+    """
     key, k_dedup = jax.random.split(key)
     members_idx, member_mask, overflow = unique_members(
         state.live_idx, col_mask, member_capacity, k_dedup, axis_name
     )
     members_u = state.pile_u[members_idx]
+    if carry_cap:
+        # build_region disables the cap when prev_radius == 0
+        prev_radius = jnp.where(overflow > 0, 0.0, state.prev_radius)
+    else:
+        prev_radius = jnp.float32(0.0)
     geom = strategy.build(
-        members_u, member_mask, key, state.prev_scale, state.prev_radius
+        members_u, member_mask, key, state.prev_scale, prev_radius
     )
     return geom, overflow
 
@@ -339,7 +357,7 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
             st = state._replace(pile_u=pile_u)
             g, ovf = _build_geometry_from(
                 strategy, st, col_mask, k_focus, cfg, member_capacity,
-                axis_name
+                axis_name, carry_cap=False,
             )
             return g, overflow + ovf
 

@@ -211,6 +211,14 @@ def multi_nested_integrator(
     newest_state = state
     compact_due = False
     lookahead = max(0, cfg.pipeline_lookahead)
+    # Compaction must trigger EARLY enough that the pile cannot fill while
+    # the pipeline drains: a report is up to `lookahead` chunks stale, and the
+    # in-flight chunks keep appending points after the threshold is observed.
+    # Track the largest per-chunk pile growth seen and compact once the
+    # predicted post-drain size (with a 2x safety factor) would exceed
+    # capacity, in addition to the static 85% floor.
+    prev_pile_size = None
+    growth_est = 0
 
     def dispatch_chunk():
         nonlocal newest_state
@@ -230,9 +238,9 @@ def multi_nested_integrator(
         elif not pipeline:
             break
         state, buf = pipeline.popleft()
-        t_c0 = t_c1 = time.time()
-        buf = np.asarray(buf)  # blocks until the chunk finishes
-        t_c2 = time.time()
+        t_c0 = time.time()
+        buf = np.asarray(buf)  # blocks until the chunk finishes + transfers
+        t_c1 = time.time()
         rep = engine_lib.parse_report(buf, cfg.chunk_iters, D, K)
         d_run = rep["running"]
         pending_idx.append(rep["idx"])
@@ -295,7 +303,19 @@ def multi_nested_integrator(
         # compaction must see every in-flight chunk's indices first (they
         # reference the pre-compaction pile): stop dispatching, drain the
         # pipeline, then compact the newest state
-        compact_due = rep["pile_size"] > 0.85 * pile_cap
+        ps = rep["pile_size"]
+        if prev_pile_size is not None and ps >= prev_pile_size:
+            growth_est = max(growth_est, ps - prev_pile_size)
+        prev_pile_size = ps
+        predicted_peak = ps + 2 * (len(pipeline) + 1) * max(growth_est, 1)
+        compact_due = compact_due or (ps > 0.85 * pile_cap) or (
+            predicted_peak > pile_cap
+        )
+        if ps >= pile_cap:
+            log.warning(
+                "point pile hit capacity (%d); accepted candidates were "
+                "dropped on device — raise cfg.pile_capacity", pile_cap,
+            )
         if compact_due and not pipeline and running.any():
             resolve_pending(state)  # indices reference the pre-compaction pile
             state = compact_pile(state)
@@ -304,7 +324,7 @@ def multi_nested_integrator(
         if profile_dir and chunk_index == profile_chunks:
             jax.profiler.stop_trace()
             profile_dir = None
-        t_c3 = time.time()
+        t_c2 = time.time()
         if cfg.use_groups and D > 1 and running.any():
             # advisory group decomposition for focused draws (ns/subsets.py);
             # cheap at chunk cadence, replaces reference igraph clusters();
@@ -323,10 +343,14 @@ def multi_nested_integrator(
         if debug_timing:
             import sys
 
+            # under pipelining, device compute overlaps the host: `wait` is
+            # the time blocked on this chunk's packed report (residual device
+            # time + transfer), `host` the stream/checkpoint/compact work,
+            # `groups` the advisory decomposition
             print(
-                "chunk %d: run=%.0fms report=%.0fms term=%.0fms groups=%.0fms"
-                % (chunk_index, 1e3 * (t_c1 - t_c0), 1e3 * (t_c2 - t_c1),
-                   1e3 * (t_c3 - t_c2), 1e3 * (time.time() - t_c3)),
+                "chunk %d: wait=%.0fms host=%.0fms groups=%.0fms"
+                % (chunk_index, 1e3 * (t_c1 - t_c0),
+                   1e3 * (t_c2 - t_c1), 1e3 * (time.time() - t_c2)),
                 file=sys.stderr, flush=True,
             )
 

@@ -174,6 +174,9 @@ def main(argv=None):
     m.add_argument("--nlive", type=int, default=None)
     m.add_argument("--max-samples", type=int, default=100000)
     m.add_argument("--out", default=None)
+    m.add_argument("--ages-file", default=None,
+                   help="text file with one template age (years) per line; "
+                        "default: the reference BC03 grid (musefuse.py:190)")
     m.add_argument("--checkpoint-dir", default=None)
     m.add_argument("--devices", type=int, default=1,
                    help="shard spaxels over this many devices")
@@ -260,6 +263,7 @@ def cmd_musefit(args):
         nlive=args.nlive or int(os.environ.get("NLIVE_POINTS", 400)),
         max_samples=args.max_samples, out_prefix=args.out,
         checkpoint_dir=args.checkpoint_dir, mesh=mesh,
+        ages_file=args.ages_file,
     )
     print("logZ = %.1f +- %.1f" % (result.logZ[0], result.logZerr[0]))
     print("ndraws:", result.ndraws)

@@ -22,19 +22,53 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# BC03-style age grid (years). The reference hardcodes this list and takes
-# every second entry (musefuse.py:190); template files must carry one column
-# per (subsampled) age. We build the canonical grid programmatically: the
-# published grid is approximately log-spaced in blocks.
+# The published BC03 age grid (years), exactly as hardcoded by the reference
+# (musefuse.py:190). The reference takes every second entry (``[::2]``);
+# template files must carry one column per subsampled age.
+REFERENCE_AGES = np.array([
+    0.000E+00, 1.000E+05, 1.412E+05, 1.585E+05, 1.778E+05, 1.995E+05,
+    2.239E+05, 2.512E+05, 2.818E+05, 3.162E+05, 3.548E+05, 3.981E+05,
+    4.467E+05, 5.012E+05, 5.623E+05, 6.310E+05, 7.080E+05, 7.943E+05,
+    8.913E+05, 1.000E+06, 1.047E+06, 1.096E+06, 1.148E+06, 1.202E+06,
+    1.259E+06, 1.318E+06, 1.380E+06, 1.445E+06, 1.514E+06, 1.585E+06,
+    1.660E+06, 1.738E+06, 1.820E+06, 1.906E+06, 1.995E+06, 2.089E+06,
+    2.188E+06, 2.291E+06, 2.399E+06, 2.512E+06, 2.630E+06, 2.754E+06,
+    2.884E+06, 3.020E+06, 3.162E+06, 3.311E+06, 3.467E+06, 3.631E+06,
+    3.802E+06, 3.981E+06, 4.169E+06, 4.365E+06, 4.571E+06, 4.786E+06,
+    5.012E+06, 5.248E+06, 5.495E+06, 5.754E+06, 6.026E+06, 6.310E+06,
+    6.607E+06, 6.918E+06, 7.244E+06, 7.586E+06, 7.943E+06, 8.318E+06,
+    8.710E+06, 9.120E+06, 9.550E+06, 1.000E+07, 1.047E+07, 1.096E+07,
+    1.148E+07, 1.202E+07, 1.259E+07, 1.318E+07, 1.380E+07, 1.445E+07,
+    1.514E+07, 1.585E+07, 1.660E+07, 1.738E+07, 1.820E+07, 1.906E+07,
+    1.995E+07, 2.089E+07, 2.188E+07, 2.291E+07, 2.399E+07, 2.512E+07,
+    2.630E+07, 2.754E+07, 2.900E+07, 3.000E+07, 3.100E+07, 3.200E+07,
+    3.300E+07, 3.400E+07, 3.500E+07, 3.600E+07, 3.700E+07, 3.800E+07,
+    3.900E+07, 4.000E+07, 4.250E+07, 4.500E+07, 4.750E+07, 5.000E+07,
+    5.250E+07, 5.500E+07, 5.709E+07, 6.405E+07, 7.187E+07, 8.064E+07,
+    9.048E+07, 1.015E+08, 1.139E+08, 1.278E+08, 1.434E+08, 1.609E+08,
+    1.805E+08, 2.026E+08, 2.273E+08, 2.550E+08, 2.861E+08, 3.210E+08,
+    3.602E+08, 4.042E+08, 4.535E+08, 5.088E+08, 5.709E+08, 6.405E+08,
+    7.187E+08, 8.064E+08, 9.048E+08, 1.015E+09, 1.139E+09, 1.278E+09,
+    1.434E+09, 1.609E+09, 1.680E+09, 1.700E+09, 1.800E+09, 1.900E+09,
+    2.000E+09, 2.100E+09, 2.200E+09, 2.300E+09, 2.400E+09, 2.500E+09,
+    2.600E+09, 2.750E+09, 3.000E+09, 3.250E+09, 3.500E+09, 3.750E+09,
+    4.000E+09, 4.250E+09, 4.500E+09, 4.750E+09, 5.000E+09, 5.250E+09,
+    5.500E+09, 5.750E+09, 6.000E+09, 6.250E+09, 6.500E+09, 6.750E+09,
+    7.000E+09, 7.250E+09, 7.500E+09, 7.750E+09, 8.000E+09, 8.250E+09,
+    8.500E+09, 8.750E+09, 9.000E+09, 9.250E+09, 9.500E+09, 9.750E+09,
+    1.000E+10, 1.025E+10, 1.050E+10, 1.075E+10, 1.100E+10, 1.125E+10,
+    1.150E+10, 1.175E+10, 1.200E+10, 1.225E+10, 1.250E+10, 1.275E+10,
+    1.300E+10, 1.325E+10, 1.350E+10, 1.375E+10, 1.400E+10, 1.425E+10,
+    1.450E+10, 1.475E+10, 1.500E+10, 1.525E+10, 1.550E+10, 1.575E+10,
+    1.600E+10, 1.625E+10, 1.650E+10, 1.675E+10, 1.700E+10, 1.725E+10,
+    1.750E+10, 1.775E+10, 1.800E+10, 1.825E+10, 1.850E+10, 1.875E+10,
+    1.900E+10, 1.925E+10, 1.950E+10, 1.975E+10, 2.000E+10,
+])
+
+
 def default_age_grid() -> np.ndarray:
-    pieces = [
-        np.array([0.0]),
-        10 ** np.arange(5.0, 6.0, 0.05),       # 1e5 .. 1e6, 20 steps
-        10 ** np.arange(6.0, 7.6, 0.02),       # 1e6 .. ~4e7 fine block
-        10 ** np.arange(7.6, 9.0, 0.05),
-        np.arange(1.0e9, 2.01e10, 2.5e8),
-    ]
-    return np.concatenate(pieces)
+    """The reference's full age list (before its ``[::2]`` subsampling)."""
+    return REFERENCE_AGES.copy()
 
 
 _Z_GRID = np.log10([0.0001, 0.0004, 0.004, 0.008, 0.02, 0.05, 0.1])
@@ -85,14 +119,21 @@ def load_template_grid(filenames, ages=None, data_wl_nm=None,
     templates = np.stack(grids)       # [nZ, n_ages, n_wl]
     n_ages = templates.shape[1]
     if ages is None:
-        full = default_age_grid()[::2]
-        if n_ages == len(full):
-            ages = full
-        else:  # subsample evenly across the whole age range
-            ages = full[np.round(np.linspace(0, len(full) - 1, n_ages))
-                        .astype(int)]
+        ages = REFERENCE_AGES[::2]  # musefuse.py:190
+        if n_ages != len(ages):
+            raise ValueError(
+                f"template files carry {n_ages} age columns but the "
+                f"reference BC03 grid (musefuse.py:190, [::2]) has "
+                f"{len(ages)} entries; pass ages= / --ages-file with the "
+                "grid matching your template library — silently guessing "
+                "ages would mis-weight the SFH synthesis"
+            )
     ages = np.asarray(ages, np.float64)
-    assert len(ages) == n_ages, (len(ages), n_ages)
+    if len(ages) != n_ages:
+        raise ValueError(
+            f"ages grid has {len(ages)} entries but template files carry "
+            f"{n_ages} age columns"
+        )
     # normalize near 656nm rest frame (reference index 2050 on its grid)
     norm_index = int(np.argmin(np.abs(model_wl - 656.0)))
     return MuseModelData(

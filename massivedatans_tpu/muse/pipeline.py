@@ -103,7 +103,8 @@ def run_musefit(cube_path: str, region_path: str, zlo: float, zhi: float,
                 nlive: int = 400, tolerance: float = 0.5,
                 max_samples: int = 100000, out_prefix: str | None = None,
                 cfg_overrides: dict | None = None, progress: bool = True,
-                checkpoint_dir: str | None = None, mesh=None):
+                checkpoint_dir: str | None = None, mesh=None,
+                ages_file: str | None = None):
     """Reference musefuse.py main flow; returns (result, problem, cube)."""
     from massivedatans_tpu.config import RunConfig
     from massivedatans_tpu.muse.likelihood import make_muse_problem
@@ -111,7 +112,9 @@ def run_musefit(cube_path: str, region_path: str, zlo: float, zhi: float,
     from massivedatans_tpu.ns.integrator import multi_nested_integrator
 
     cube = load_muse_cube(cube_path, region_path, maxdata=maxdata)
-    md = load_template_grid(template_files, data_wl_nm=cube.wavelength_nm,
+    ages = np.loadtxt(ages_file) if ages_file else None
+    md = load_template_grid(template_files, ages=ages,
+                            data_wl_nm=cube.wavelength_nm,
                             zlo=zlo, zhi=zhi)
     problem = make_muse_problem(md, cube.y, cube.var, zsol=(model == "ZSOL"))
     cfg = RunConfig.from_env(

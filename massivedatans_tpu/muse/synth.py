@@ -13,18 +13,28 @@ import numpy as np
 from massivedatans_tpu.muse.fitsio import fits_write
 
 
-def make_template_files(dirpath: str, n_ages: int = 24, n_wl: int = 400,
+def make_template_files(dirpath: str, n_ages: int = 111, n_wl: int = 400,
                         nZ: int = 7, seed: int = 0):
     """Plausible smooth SSP-like templates: blackbody-ish continua whose
-    temperature falls with age, bluer for lower metallicity."""
+    temperature falls with age, bluer for lower metallicity.
+
+    The default ``n_ages=111`` matches the reference BC03 grid
+    (``model.REFERENCE_AGES[::2]``, musefuse.py:190) so the files load
+    without an explicit ages list. For other column counts an ``ages.txt``
+    (geometric grid) is written alongside, to pass as ``--ages-file``.
+    """
     rng = np.random.default_rng(seed)
     wl_A = np.linspace(3000.0, 9000.0, n_wl)  # Angstrom
     files = []
     os.makedirs(dirpath, exist_ok=True)
+    if n_ages != 111:
+        ages = np.concatenate([[0.0], np.geomspace(1e5, 2e10, n_ages - 1)])
+        np.savetxt(os.path.join(dirpath, "ages.txt"), ages)
     for iz in range(nZ):
         cols = [wl_A]
         for a in range(n_ages):
-            temp = 12000.0 * (0.97 ** a) * (1.0 + 0.05 * iz)
+            # keep the same temperature span regardless of grid length
+            temp = 12000.0 * (0.97 ** (a * 24.0 / n_ages)) * (1.0 + 0.05 * iz)
             x = 1.43878e8 / (wl_A * temp)  # hc/(k lambda T), Angstrom*K
             planck = 1.0 / (wl_A ** 5 * np.expm1(np.clip(x, 1e-3, 50.0)))
             bump = 1.0 + 0.3 * np.exp(

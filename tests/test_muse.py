@@ -21,7 +21,7 @@ from massivedatans_tpu.muse.regions import parse_region_mask
 @pytest.fixture(scope="module")
 def tpl_files(tmp_path_factory):
     d = tmp_path_factory.mktemp("tpl")
-    return synth.make_template_files(str(d), n_ages=24, n_wl=400)
+    return synth.make_template_files(str(d), n_wl=400)
 
 
 @pytest.fixture(scope="module")
@@ -239,3 +239,35 @@ def test_plot_muse_bestfit(tpl_files, tmp_path):
                                  path_prefix=str(tmp_path / "mbf"))
     assert paths == [str(tmp_path / "mbf") + "_1.pdf"]
     assert (tmp_path / "mbf_1.pdf").exists()
+
+
+def test_reference_age_grid_exact():
+    """The BC03 grid is carried verbatim (musefuse.py:190): 221 entries,
+    [::2] -> 111; spot-check first/last values and monotonicity."""
+    from massivedatans_tpu.muse.model import REFERENCE_AGES
+
+    assert REFERENCE_AGES.shape == (221,)
+    assert REFERENCE_AGES[0] == 0.0
+    assert REFERENCE_AGES[1] == 1.000e5
+    assert REFERENCE_AGES[2] == 1.412e5
+    assert REFERENCE_AGES[-1] == 2.000e10
+    assert REFERENCE_AGES[110] == 5.709e7
+    assert (np.diff(REFERENCE_AGES) > 0).all()
+    assert len(REFERENCE_AGES[::2]) == 111
+
+
+def test_template_age_mismatch_raises(tmp_path):
+    """Column-count mismatch must error, not silently subsample."""
+    from massivedatans_tpu.muse import synth
+    from massivedatans_tpu.muse.model import load_template_grid
+
+    files = synth.make_template_files(str(tmp_path / "t24"), n_ages=24)
+    with pytest.raises(ValueError, match="age columns"):
+        load_template_grid(files)
+    # explicit ages (as --ages-file provides) resolves it
+    ages = np.loadtxt(str(tmp_path / "t24" / "ages.txt"))
+    md = load_template_grid(files, ages=ages)
+    assert md.ages.shape == (24,)
+    # wrong-length explicit ages also raises
+    with pytest.raises(ValueError):
+        load_template_grid(files, ages=ages[:-1])

@@ -47,7 +47,7 @@ def main():
     if not os.path.exists(cube_path):
         synth.make_synthetic_cube(cube_path, region_path, nspec=NSPEC,
                                   ny=side, nx=side, seed=1)
-    tpl_files = synth.make_template_files(tpl_dir, n_ages=40, n_wl=1200)
+    tpl_files = synth.make_template_files(tpl_dir, n_wl=1200)
 
     t0 = time.time()
     result, problem, cube = run_musefit(

@@ -6,63 +6,65 @@ tolerance=0.5. The reference measures model evaluations and wall-clock via
 ``.stats.json`` (sample.py:215-217).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 ``vs_baseline`` compares wall-clock against the reference implementation's
 measured time for the same workload on this host's CPU (see
 ``tools/measure_reference_baseline.py``; stored in baseline_ref.json).
 Values > 1 mean the TPU framework is faster.
+
+Robustness contract (VERDICT r1): the JSON line is ALWAYS emitted. The run
+is staged — if the full-size chunk graph fails to compile or run (the
+remote compile service on this host has been seen OOM-killing large
+graphs), progressively smaller per-dispatch chunk sizes are retried; the
+same scientific workload (ndata/nlive/tolerance) is preserved, only the
+dispatch granularity shrinks. A fallback run is marked ``"degraded"``; a
+total failure emits ``"error"`` with value -1.
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 N_GEN = int(os.environ.get("BENCH_NGEN", "1000"))
 NDATA = int(os.environ.get("BENCH_NDATA", "100"))
 NLIVE = int(os.environ.get("BENCH_NLIVE", "400"))
-# 200 iterations per device dispatch: the tunneled TPU's per-dispatch
-# round-trip latency is the dominant and highly variable cost on this host,
-# so fewer/larger chunks win in every observed latency regime
-CHUNK_ITERS = int(os.environ.get("BENCH_CHUNK_ITERS", "200"))
+# NS iterations per device dispatch. The tunneled TPU's per-dispatch
+# round-trip latency is high and variable, so larger chunks win at runtime —
+# but the remote compile helper has OOM-killed very large chunk graphs
+# (BENCH_r01: SIGKILL at 200). The staged fallback below walks down until
+# one compiles.
+CHUNK_STAGES = [int(s) for s in os.environ.get(
+    "BENCH_CHUNK_STAGES", os.environ.get("BENCH_CHUNK_ITERS", "100,50,20")
+).split(",")]
 EVAL_BATCH = int(os.environ.get("BENCH_EVAL_BATCH", "128"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
 
+# TPU v5e (lite) peak: 394 TFLOP/s bf16, 197 TFLOP/s int8-era fp32 path is
+# lower; we report MFU against the bf16 peak — conservative (the likelihood
+# matmul runs in f32 HIGHEST, whose achievable peak is ~1/4 of bf16).
+V5E_PEAK_BF16 = 394e12
 
-def main():
+
+def emit(payload):
+    print(json.dumps(payload))
+    sys.stdout.flush()
+
+
+def run_stage(problem, cfg, warmup: bool):
+    """One full integrator run; returns (result, wall_s, warmup_s)."""
     import jax
 
-    from massivedatans_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    from massivedatans_tpu.config import RunConfig
-    from massivedatans_tpu.datagen.generators import gen_horns
-    from massivedatans_tpu.models.gaussline import make_gaussline_problem
+    from massivedatans_tpu.ns import engine as engine_lib
     from massivedatans_tpu.ns.integrator import multi_nested_integrator
 
-    data = gen_horns(N_GEN)
-    y = data["y"][:, :NDATA]
-    problem = make_gaussline_problem(data["x"], y, data["noise_level"])
-    cfg = RunConfig(
-        nlive_points=NLIVE,
-        tolerance=0.5,
-        chunk_iters=CHUNK_ITERS,
-        eval_batch=EVAL_BATCH,
-        proposal_batch=512,
-        shelf_capacity=8,
-    )
-
-    # Warm-up: execute the exact jitted graphs of the timed run once (same
-    # cfg/shapes -> same executables), so the measurement is steady-state
-    # throughput. Compilation is a one-time cost amortized over production
-    # use (and is paid to a remote compile service with minutes-scale queue
-    # variance on this host); its cost is reported separately below.
     warmup_s = 0.0
-    if WARMUP:
-        from massivedatans_tpu.ns import engine as engine_lib
-
+    if warmup:
+        # Execute the exact jitted graphs of the timed run once (same
+        # cfg/shapes -> same executables), so the measurement is
+        # steady-state throughput; compilation cost is reported separately.
         t_w = time.time()
         mc = cfg.resolve_member_capacity(problem.ndata)
         st0 = engine_lib.init_state(problem, jax.random.key(1), cfg)
@@ -77,7 +79,60 @@ def main():
     result = multi_nested_integrator(
         problem, cfg, key=jax.random.key(1), progress=False
     )
-    wall = time.time() - t0
+    return result, time.time() - t0, warmup_s
+
+
+def main():
+    t_start = time.time()
+    try:
+        import jax
+
+        from massivedatans_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
+        from massivedatans_tpu.config import RunConfig
+        from massivedatans_tpu.datagen.generators import gen_horns
+        from massivedatans_tpu.models.gaussline import make_gaussline_problem
+
+        data = gen_horns(N_GEN)
+        y = data["y"][:, :NDATA]
+        nx = y.shape[0]
+        problem = make_gaussline_problem(data["x"], y, data["noise_level"])
+        platform = jax.devices()[0].platform
+    except Exception:
+        emit({"metric": "wall-clock horns (setup failed)", "value": -1.0,
+              "unit": "s", "vs_baseline": 0.0,
+              "extra": {"error": traceback.format_exc(limit=3)}})
+        return 0
+
+    errors = []
+    result = wall = warmup_s = None
+    used_chunk = None
+    for stage_i, chunk in enumerate(CHUNK_STAGES):
+        cfg = RunConfig(
+            nlive_points=NLIVE,
+            tolerance=0.5,
+            chunk_iters=chunk,
+            eval_batch=EVAL_BATCH,
+            proposal_batch=512,
+            shelf_capacity=8,
+        )
+        try:
+            result, wall, warmup_s = run_stage(problem, cfg, warmup=WARMUP)
+            used_chunk = chunk
+            break
+        except Exception:
+            err = traceback.format_exc(limit=3)
+            errors.append({"chunk_iters": chunk, "error": err.splitlines()[-1]})
+            sys.stderr.write(f"[bench] stage chunk_iters={chunk} failed:\n{err}\n")
+
+    if result is None:
+        emit({"metric": f"wall-clock horns ndata={NDATA} nlive={NLIVE} tol=0.5",
+              "value": -1.0, "unit": "s", "vs_baseline": 0.0,
+              "extra": {"error": "all stages failed", "stages": errors,
+                        "platform": platform}})
+        return 0
 
     baseline_s = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -88,8 +143,15 @@ def main():
         key = f"horns_n{N_GEN}_ndata{NDATA}_nlive{NLIVE}"
         baseline_s = base.get(key, {}).get("duration")
 
+    # Achieved model-evaluation FLOP rate: every evaluated candidate row is
+    # one [nx] . [nx, D] chi^2 contraction (2*nx*D FLOPs) plus the model
+    # curve itself (~6*nx, negligible). MFU is quoted against the bf16 MXU
+    # peak even though the matmul runs f32-HIGHEST — a deliberately
+    # conservative absolute scale (VERDICT r1 #9).
+    flops = 2.0 * float(result.ndraws) * nx * NDATA
+    flops_per_s = flops / wall
     vs = (baseline_s / wall) if baseline_s else 0.0
-    print(json.dumps({
+    payload = {
         "metric": f"wall-clock horns ndata={NDATA} nlive={NLIVE} tol=0.5",
         "value": round(wall, 2),
         "unit": "s",
@@ -99,10 +161,18 @@ def main():
             "niter": int(result.niterations),
             "evals_per_s": round(result.ndraws / wall, 1),
             "logZ0": float(result.logZ[0]),
-            "platform": jax.devices()[0].platform,
+            "platform": platform,
             "warmup_compile_s": round(warmup_s, 2),
+            "chunk_iters": used_chunk,
+            "likelihood_flops_per_s": round(flops_per_s / 1e9, 2),
+            "likelihood_flops_unit": "GFLOP/s",
+            "mfu_vs_v5e_bf16_peak": round(flops_per_s / V5E_PEAK_BF16, 6),
+            "total_bench_s": round(time.time() - t_start, 1),
         },
-    }))
+    }
+    if used_chunk != CHUNK_STAGES[0]:
+        payload["extra"]["degraded"] = {"failed_stages": errors}
+    emit(payload)
     return 0
 
 

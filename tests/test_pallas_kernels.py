@@ -72,3 +72,56 @@ def test_bootstrap_radius_matches_oracle():
         nearest = d[np.ix_(oob, inbag[b])].min(axis=1)
         want = max(want, nearest.max())
     assert np.isclose(got, want, rtol=1e-4, atol=1e-5), (got, want)
+
+
+def test_count_within_large_member_set_tiled():
+    """member axis must tile (VERDICT: M >> 1024 has to lower); M=8192
+    spans 8 column tiles and a non-divisible valid count."""
+    rng = np.random.default_rng(3)
+    M, N, ndim = 8192, 640, 3
+    members = rng.uniform(size=(M, ndim)).astype(np.float32)
+    mask = np.arange(M) < 7000
+    pts = rng.uniform(size=(N, ndim)).astype(np.float32)
+    r = 0.05
+    got = np.asarray(count_within_pallas(
+        jnp.asarray(members), jnp.asarray(mask), jnp.asarray(pts),
+        jnp.float32(r), interpret=True))
+    d = scipy.spatial.distance.cdist(pts, members[:7000])
+    want = (d < r).sum(axis=1)
+    boundary = (np.abs(d - r) < 1e-4).sum(axis=1)
+    assert (np.abs(got - want) <= boundary).all()
+
+
+def test_bootstrap_radius_large_member_set_tiled():
+    rng = np.random.default_rng(4)
+    M, ndim, nb = 4096, 3, 10
+    w = rng.uniform(size=(M, ndim)).astype(np.float32)
+    mask = np.arange(M) < 3500
+    inbag = rng.random((nb, M)) < 0.6
+    inbag[:, ~mask] = False
+    got = float(bootstrapped_sq_radius_pallas(
+        jnp.asarray(w), jnp.asarray(mask), jnp.asarray(inbag),
+        interpret=True))
+    d = scipy.spatial.distance.cdist(w, w) ** 2
+    want = 0.0
+    for b in range(nb):
+        oob = mask & ~inbag[b]
+        nearest = d[np.ix_(oob, inbag[b])].min(axis=1)
+        want = max(want, nearest.max())
+    assert np.isclose(got, want, rtol=1e-4, atol=1e-5), (got, want)
+
+
+def test_bootstrap_radius_empty_bag_round_is_ignored():
+    rng = np.random.default_rng(5)
+    M, ndim = 64, 2
+    w = rng.uniform(size=(M, ndim)).astype(np.float32)
+    mask = np.ones(M, bool)
+    inbag = np.zeros((3, M), bool)
+    inbag[1] = rng.random(M) < 0.5
+    got = float(bootstrapped_sq_radius_pallas(
+        jnp.asarray(w), jnp.asarray(mask), jnp.asarray(inbag),
+        interpret=True))
+    d = scipy.spatial.distance.cdist(w, w) ** 2
+    oob = mask & ~inbag[1]
+    want = d[np.ix_(oob, inbag[1])].min(axis=1).max()
+    assert np.isclose(got, want, rtol=1e-4), (got, want)

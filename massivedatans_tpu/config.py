@@ -31,6 +31,9 @@ class RunConfig:
                                      # SUPFRIENDS | MULTIELLIPSOIDS | SLICE |
                                      # GALILEAN
     metriclearner: str = "truncatedscaling"  # sample.py:134
+    slice_direction: str = "iterate"  # SLICE proposal direction: iterate |
+                                      # random | mahalanobis
+                                      # (whitenedmcmc.py:200-264 family)
     force_shrink: bool = True        # sample.py:134
     nbootstraps: int = 10            # radfriendsregion.py:59
     check_every: int = 50            # tolerance-check cadence in iterations
@@ -81,6 +84,7 @@ class RunConfig:
             max_samples=_env_int("MAXSAMPLES", cls.max_samples),
             min_samples=_env_int("MINSAMPLES", cls.min_samples),
             constrainer=_env_str("CONSTRAINER", cls.constrainer),
+            slice_direction=_env_str("SLICE_DIRECTION", cls.slice_direction),
             # USE_GRAPH selects the subset-decomposition path in the
             # reference (sample.py:189); here it gates the host-side
             # connected-component decomposition entirely

@@ -43,7 +43,23 @@ def write_results(prefix: str, result, compress: bool = True):
         f.create_dataset("w", data=result.w, **kw)
         f.create_dataset("mask", data=result.mask, **kw)
         f.create_dataset("ndraws", data=result.ndraws)
+        stats = getattr(result, "stats", None) or {}
+        if "stalled_mask" in stats:
+            # per-dataset truncation flag: True where the sampler could not
+            # fill the shelf and the evidence was force-terminated early
+            # (no reference equivalent — the reference would spin forever,
+            # multi_nested_sampler.py:422-428)
+            f.create_dataset("stalled", data=np.asarray(
+                stats["stalled_mask"], bool))
 
+    extra = {}
+    stats = getattr(result, "stats", None) or {}
+    for k in ("stalled", "member_overflow", "pile_peak", "interrupted"):
+        if k in stats:
+            extra[k] = int(stats[k])
+    if "stalled_mask" in stats:
+        extra["n_stalled_datasets"] = int(np.asarray(
+            stats["stalled_mask"]).sum())
     with open(prefix + ".stats.json", "w") as fh:
         json.dump(
             dict(
@@ -51,6 +67,7 @@ def write_results(prefix: str, result, compress: bool = True):
                 duration=float(result.duration),
                 ndata=int(result.logZ.shape[0]),
                 niter=int(result.u.shape[0]),  # total weight rows incl. tail
+                **extra,
             ),
             fh,
             indent=4,

@@ -99,7 +99,19 @@ def multi_nested_integrator(
     mesh=None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 10,
+    max_chunks: Optional[int] = None,
 ) -> NSResult:
+    """Run the joint sampler to termination (or graceful preemption).
+
+    ``max_chunks``: stop after this many device chunks, checkpoint, and
+    return the partial result with ``stats['interrupted'] = True`` — the
+    preemptible-worker path (requires ``checkpoint_dir``). Resuming
+    continues the dispatch chain deterministically: with
+    ``cfg.pipeline_lookahead == 0`` the resumed run's outputs are
+    bit-identical to an uninterrupted run (with lookahead, the advisory
+    group labels steer dispatches one chunk later, so the label *phase*
+    shifts across a resume — statistically immaterial, labels never affect
+    correctness)."""
     cfg = cfg or RunConfig()
     # termination parameters are baked into the jitted step (the check runs
     # on-device, engine.device_termination), so fold overrides into cfg
@@ -163,6 +175,12 @@ def multi_nested_integrator(
     reporter = ProgressReporter(enabled=progress, ndata=D)
     chunk_index = 0
     saved_chunks = 0
+    interrupted = False
+    resumed_pile_size = None
+    resumed_growth = None
+    if max_chunks is not None and checkpoint_dir is None:
+        raise ValueError("max_chunks (graceful preemption) requires "
+                         "checkpoint_dir to persist the partial run")
 
     if checkpoint_dir is not None:
         from massivedatans_tpu.io import checkpoint as ckpt
@@ -176,6 +194,9 @@ def multi_nested_integrator(
                 state = sharded_lib.shard_state(state, mesh)
             host = ckpt.load_host(checkpoint_dir)
             running = host["running"]
+            if "prev_pile_size" in host:  # compaction predictor continuity
+                resumed_pile_size = int(host["prev_pile_size"])
+                resumed_growth = int(host["growth_est"])
             meta = ckpt.load_meta(checkpoint_dir)
             chunk_index = int(meta["chunk_index"])
             saved_chunks = chunk_index
@@ -183,6 +204,21 @@ def multi_nested_integrator(
                 dead_u.append(c["u"]); dead_x.append(c["x"])
                 dead_L.append(c["L"]); dead_w.append(c["w"])
                 dead_mask.append(c["mask"])
+            if cfg.use_groups and D > 1 and running.any():
+                # re-derive the advisory group labels the original run
+                # applied right after this state's report (they are applied
+                # to newest_state post-save, so the saved pytree carries the
+                # previous labels) — keeps a lookahead-0 resume bit-identical
+                from massivedatans_tpu.ns import subsets as subsets_lib
+
+                labels, n_groups = subsets_lib.component_labels(
+                    np.asarray(state.live_idx), selected=running,
+                    nlive_points=K,
+                )
+                state = state._replace(
+                    group_id=jnp.asarray(np.maximum(labels, 0), jnp.int32),
+                    n_groups=jnp.int32(max(n_groups, 1)),
+                )
 
     final_logZ = np.full(D, -np.inf, np.float64)
     final_H = np.zeros(D, np.float64)
@@ -217,8 +253,8 @@ def multi_nested_integrator(
     # Track the largest per-chunk pile growth seen and compact once the
     # predicted post-drain size (with a 2x safety factor) would exceed
     # capacity, in addition to the static 85% floor.
-    prev_pile_size = None
-    growth_est = 0
+    prev_pile_size = resumed_pile_size
+    growth_est = resumed_growth or 0
 
     def dispatch_chunk():
         nonlocal newest_state
@@ -277,8 +313,21 @@ def multi_nested_integrator(
                 np.asarray(state.shelves.count), cfg.shelf_capacity
             ) if show_shelves else "",
         )
+        # compaction predictor (updated before checkpointing so a resumed
+        # run continues it rather than re-learning, keeping the compaction
+        # schedule — and therefore the dispatch chain — deterministic)
+        ps = rep["pile_size"]
+        if prev_pile_size is not None and ps >= prev_pile_size:
+            growth_est = max(growth_est, ps - prev_pile_size)
+        prev_pile_size = ps
+
+        hit_max_chunks = (
+            max_chunks is not None and chunk_index >= max_chunks
+            and running.any()
+        )
         if checkpoint_dir is not None and (
             chunk_index % checkpoint_every == 0 or not running.any()
+            or hit_max_chunks
         ):
             # chunk files persist coordinates, so pending indices are
             # resolved (one pile fetch) only at checkpoint cadence — resume
@@ -294,19 +343,24 @@ def multi_nested_integrator(
                 saved_chunks += 1
             ckpt.save_state(
                 checkpoint_dir, state,
-                host_ctx=dict(running=running),
+                host_ctx=dict(running=running,
+                              prev_pile_size=np.int64(prev_pile_size),
+                              growth_est=np.int64(growth_est)),
                 meta=dict(chunk_index=chunk_index, ndata=D,
                           nlive=K, iteration=it),
             )
+        if hit_max_chunks:
+            # graceful preemption: in-flight pipeline chunks are discarded
+            # (they are beyond the checkpoint); resume re-runs them
+            log.info("max_chunks=%d reached: checkpointed and stopping",
+                     max_chunks)
+            interrupted = True
+            break
         if not running.any() and not pipeline:
             break
         # compaction must see every in-flight chunk's indices first (they
         # reference the pre-compaction pile): stop dispatching, drain the
         # pipeline, then compact the newest state
-        ps = rep["pile_size"]
-        if prev_pile_size is not None and ps >= prev_pile_size:
-            growth_est = max(growth_est, ps - prev_pile_size)
-        prev_pile_size = ps
         predicted_peak = ps + 2 * (len(pipeline) + 1) * max(growth_est, 1)
         compact_due = compact_due or (ps > 0.85 * pile_cap) or (
             predicted_peak > pile_cap
@@ -363,6 +417,7 @@ def multi_nested_integrator(
             ndraws=int(state.ndraws),
             pile_size=int(state.pile_size),
             stall_max=int(np.asarray(state.stall_count).max(initial=0)),
+            stall_count=np.asarray(state.stall_count, np.int64),
             member_overflow=int(state.member_overflow),
             last_logwidth=np.asarray(state.last_logwidth, np.float64),
             rem_logZ=np.asarray(state.rem_logZ, np.float64),
@@ -432,5 +487,15 @@ def multi_nested_integrator(
             stalled=rep["stall_max"],
             member_overflow=rep["member_overflow"],
             pile_peak=rep["pile_size"],
+            interrupted=interrupted,
+            # per-dataset quality flags (VERDICT r1 #5): evidences of
+            # datasets force-terminated after stalling are truncated and
+            # must be identifiable in the output files
+            stall_count=np.asarray(
+                rep.get("stall_count", np.zeros(D)), np.int64),
+            stalled_mask=np.asarray(
+                rep.get("stall_count", np.zeros(D))
+                > engine_lib.resolve_stall_limit(cfg)
+            ),
         ),
     )

@@ -142,6 +142,8 @@ class SliceGeom(NamedTuple):
     members_u: jax.Array   # [M, ndim] chain restart points (live points)
     member_mask: jax.Array  # [M]
     metric: region_lib.Metric
+    chol: jax.Array        # [ndim, ndim] live-point covariance Cholesky
+                           # (Mahalanobis directions, whitenedmcmc.py:200-215)
 
 
 class SliceChains(NamedTuple):
@@ -172,20 +174,42 @@ def _cube_bracket(u, direction):
 
 
 def make_slice(cfg: RunConfig, nsteps: int | None = None,
-               iterate_axes: bool = True) -> Strategy:
+               direction: str | None = None) -> Strategy:
     """Batched slice sampler: C = eval_batch parallel chains, each advanced
     one proposal per fill round; every proposal is scored against all
     datasets by the shared matmul (the reference evaluates per proposal too,
     whitenedmcmc.py:291-294, but discards non-final accepts — we shelve
-    them once the chain is past burn-in)."""
+    them once the chain is past burn-in).
+
+    ``direction`` selects the reference's proposal-direction family:
+    ``iterate`` cycles whitened coordinates (FilteredUnitIterateSlice,
+    whitenedmcmc.py:232-249, the default), ``random`` draws random whitened
+    coordinates-free directions (:217-230), ``mahalanobis`` draws from the
+    live-point covariance Cholesky (FilteredMahalanobisSliceProposal,
+    :200-215) — the variant that helps on correlated posteriors.
+    """
     C = cfg.eval_batch
+    direction = (direction or cfg.slice_direction).lower()
+    if direction not in ("iterate", "random", "mahalanobis"):
+        raise ValueError(f"unknown slice_direction {direction!r}")
 
     def build(members_u, member_mask, key, prev_scale, prev_radius):
         metric = region_lib.fit_metric(
             members_u, member_mask, cfg.metriclearner
         )
+        # masked live-point covariance -> Cholesky (whitenedmcmc.py:204-206
+        # uses numpy.cov of the live points); jitter keeps it SPD when the
+        # points collapse onto a subspace
+        ndim = members_u.shape[1]
+        mf = member_mask.astype(members_u.dtype)[:, None]
+        n = jnp.maximum(mf.sum(), 2.0)
+        mean = (members_u * mf).sum(axis=0) / n
+        centered = (members_u - mean) * mf
+        cov = centered.T @ centered / (n - 1.0)
+        cov = cov + 1e-10 * jnp.eye(ndim, dtype=cov.dtype)
+        chol = jnp.linalg.cholesky(cov)
         return SliceGeom(members_u=members_u, member_mask=member_mask,
-                         metric=metric)
+                         metric=metric, chol=chol)
 
     def _restart_points(geom, key, n):
         logits = jnp.where(geom.member_mask, 0.0, _NEG_BIG)
@@ -193,7 +217,7 @@ def make_slice(cfg: RunConfig, nsteps: int | None = None,
         return geom.members_u[pick]
 
     def _new_direction(geom, key, axis, ndim):
-        if iterate_axes:
+        if direction == "iterate":
             # iterative component-wise direction in the whitened metric
             # (FilteredUnitIterateSliceProposal, whitenedmcmc.py:232-249)
             new_axis = (axis + 1) % ndim
@@ -202,7 +226,11 @@ def make_slice(cfg: RunConfig, nsteps: int | None = None,
             d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
             return d, new_axis
         d = jax.random.normal(key, (axis.shape[0], ndim))
-        d = d * geom.metric.scale[None, :]
+        if direction == "mahalanobis":
+            # live-point-covariance direction (whitenedmcmc.py:200-215)
+            d = d @ geom.chol.T
+        else:
+            d = d * geom.metric.scale[None, :]
         d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
         return d, axis
 
@@ -400,7 +428,7 @@ def make_strategy(cfg: RunConfig) -> Strategy:
     if name == "MULTIELLIPSOIDS":
         return make_multiellipsoids(cfg)
     if name == "SLICE":
-        return make_slice(cfg)
+        return make_slice(cfg, direction=cfg.slice_direction)
     if name in ("GALILEAN", "MCMC"):
         return make_galilean(cfg)
     raise ValueError(f"unknown constrainer {cfg.constrainer!r}")

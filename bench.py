@@ -32,15 +32,19 @@ N_GEN = int(os.environ.get("BENCH_NGEN", "1000"))
 NDATA = int(os.environ.get("BENCH_NDATA", "100"))
 NLIVE = int(os.environ.get("BENCH_NLIVE", "400"))
 # NS iterations per device dispatch. The tunneled TPU's per-dispatch
-# round-trip latency is high and variable, so larger chunks win at runtime —
-# but the remote compile helper has OOM-killed very large chunk graphs
-# (BENCH_r01: SIGKILL at 200). The staged fallback below walks down until
-# one compiles.
+# round-trip latency is seconds-scale and variable, so larger chunks win
+# (fewer round trips) — chunk=200 measured 47 s in the same tunnel episode
+# where chunk=100 measured 227 s. The round-1 compile OOM at 200 was fixed
+# by tiling the Pallas region kernels; the staged fallback still walks down
+# if a stage fails to compile or run.
 CHUNK_STAGES = [int(s) for s in os.environ.get(
-    "BENCH_CHUNK_STAGES", os.environ.get("BENCH_CHUNK_ITERS", "100,50,20")
+    "BENCH_CHUNK_STAGES", os.environ.get("BENCH_CHUNK_ITERS", "200,100,50")
 ).split(",")]
 EVAL_BATCH = int(os.environ.get("BENCH_EVAL_BATCH", "128"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
+# chunks kept in flight: the tunneled TPU's dispatch/fetch round trip is
+# seconds-scale and VARIABLE (observed 0.1-4 s); deep pipelining overlaps it
+LOOKAHEAD = int(os.environ.get("BENCH_LOOKAHEAD", "4"))
 
 # TPU v5e (lite) peak: 394 TFLOP/s bf16, 197 TFLOP/s int8-era fp32 path is
 # lower; we report MFU against the bf16 peak — conservative (the likelihood
@@ -117,6 +121,7 @@ def main():
             eval_batch=EVAL_BATCH,
             proposal_batch=512,
             shelf_capacity=8,
+            pipeline_lookahead=LOOKAHEAD,
         )
         try:
             result, wall, warmup_s = run_stage(problem, cfg, warmup=WARMUP)

@@ -259,37 +259,63 @@ def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
 
 def _column_proposals(pile_u, live_idx, empty, metric, radius, key, B: int,
                       norm: str = "euclidean"):
-    """Candidates drawn directly around random live points of empty-shelf
-    datasets (one ball per candidate, per-column multiplicity correction).
+    """Candidates drawn directly from empty-shelf datasets' own RadFriends
+    regions (per-column union of balls around that dataset's live points).
 
     The group-cycled focused rebuilds visit one connected component per
     refocus; once the datasets decouple into hundreds of components (late
     MUSE runs, large-N tails) a single NS iteration would need O(groups)
-    fill rounds. This proposal needs no member gather and no capacity cap:
-    pick an empty dataset, pick one of its live points, sample its
-    RadFriends ball — every candidate lands in somebody's constrained
-    region, and the shared [B, D] scoring still reuses it for every
-    dataset. Equivalent to per-subset RadFriends sampling when components
-    are singletons (the regime it activates in); the 1/n_near correction
-    uses the candidate's own column, mirroring radfriendsregion.py:145-178.
+    fill rounds. This proposal needs no member gather cap: pick an empty
+    dataset, sample ITS ball union — every candidate lands in somebody's
+    constrained region, and the shared [B, D] scoring still reuses it for
+    every dataset. Equivalent to per-subset RadFriends sampling when
+    components are singletons (the regime it activates in).
+
+    Dual proposal per candidate, mirroring radfriendsregion.py:129-178 at
+    per-column granularity: half the batch samples the column's whitened
+    bounding box (+r) and keeps points inside the union; half samples a
+    ball around a random live point with the 1/n_near multiplicity
+    correction. The box half is load-bearing for throughput: late in a run
+    a dataset's live points collapse into one tight cluster, every ball
+    contains ~all K members, and ball-only sampling would thin acceptance
+    to ~1/K (~0.25% at nlive=400) — the box path accepts at the
+    union-to-box volume ratio, which is O(1) for a tight cluster.
     """
     K, D = live_idx.shape
     ndim = pile_u.shape[1]
-    kd, kk, kball, kcoin = jax.random.split(key, 4)
+    kd, kk, kball, kcoin, kbox = jax.random.split(key, 5)
     logits = jnp.where(empty, 0.0, -1e30)
     cols = jax.random.categorical(kd, logits, shape=(B,))
-    rows = jax.random.randint(kk, (B,), 0, K)
-    c_w = metric.transform(pile_u[live_idx[rows, cols]])  # [B, ndim]
-    w = c_w + ball_offsets(kball, B, ndim, radius, norm=norm)
-    u = metric.untransform(w)
     mem_w = metric.transform(pile_u[live_idx[:, cols]])   # [K, B, ndim]
+
+    # box half: uniform in the column's whitened bounding box (+r)
+    lo = jnp.min(mem_w, axis=0) - radius                  # [B, ndim]
+    hi = jnp.max(mem_w, axis=0) + radius
+    w_box = lo + (hi - lo) * jax.random.uniform(kbox, (B, ndim))
+
+    # ball half: around a random member of the column
+    rows = jax.random.randint(kk, (B,), 0, K)
+    c_w = jnp.take_along_axis(
+        mem_w, rows[None, :, None], axis=0
+    )[0]                                                  # [B, ndim]
+    w_ball = c_w + ball_offsets(kball, B, ndim, radius, norm=norm)
+
+    use_box = jnp.arange(B) < (B // 2)
+    w = jnp.where(use_box[:, None], w_box, w_ball)
+    u = metric.untransform(w)
     sq = jnp.square(mem_w - w[None, :, :])
     if norm == "chebyshev":
         d2 = jnp.max(sq, axis=-1)  # [K, B]
     else:
         d2 = jnp.sum(sq, axis=-1)  # [K, B]
-    nnear = jnp.maximum((d2 < jnp.square(radius)).sum(axis=0), 1)
-    ok = jax.random.uniform(kcoin, (B,)) * nnear.astype(jnp.float32) < 1.0
+    nnear = (d2 < jnp.square(radius)).sum(axis=0)
+    # box candidates: uniform-over-box ∩ union -> uniform over the union;
+    # ball candidates: 1/n_near correction (n_near >= 1 by construction)
+    ok_box = nnear > 0
+    ok_ball = jax.random.uniform(kcoin, (B,)) * jnp.maximum(
+        nnear, 1
+    ).astype(jnp.float32) < 1.0
+    ok = jnp.where(use_box, ok_box, ok_ball)
     in_cube = jnp.all((u > 0.0) & (u < 1.0), axis=1)
     return u, ok & in_cube & jnp.any(empty), cols.astype(jnp.int32)
 

@@ -29,6 +29,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 import jax
 
+# The axon sitecustomize registers the TPU backend at interpreter start, so
+# the JAX_PLATFORMS env var alone does not stick — mirror tests/conftest.py
+# and force the platform through jax.config when the caller asked for cpu.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 from massivedatans_tpu.config import RunConfig
 from massivedatans_tpu.datagen.generators import gen_horns
 from massivedatans_tpu.models.gaussline import make_gaussline_problem
@@ -42,6 +48,16 @@ CHUNK = 25
 REPS = 4
 
 
+def _time_chunks(run, problem, state) -> float:
+    state, dead = run(problem, state)     # warm-up compile + first chunk
+    jax.block_until_ready(dead.L)
+    t0 = time.time()
+    for _ in range(REPS):
+        state, dead = run(problem, state)
+    jax.block_until_ready(dead.L)
+    return (time.time() - t0) / REPS
+
+
 def bench_one(n_dev: int, data) -> dict:
     cfg = RunConfig(nlive_points=200, chunk_iters=CHUNK, eval_batch=128,
                     proposal_batch=512, shelf_capacity=8)
@@ -50,25 +66,30 @@ def bench_one(n_dev: int, data) -> dict:
                                      data["noise_level"])
     mc = cfg.resolve_member_capacity(D)
     state = engine_lib.init_state(problem, jax.random.key(1), cfg)
+
+    def run_single(pr, st):
+        return engine_lib.run_chunk(pr, st, cfg, mc, CHUNK)
+
     if n_dev == 1:
-        def run(pr, st):
-            return engine_lib.run_chunk(pr, st, cfg, mc, CHUNK)
+        dt = _time_chunks(run_single, problem, state)
+        dt_single = dt
     else:
         mp = int(os.environ.get("MESH_MODEL_PARALLEL", "1"))
         mp = mp if n_dev % mp == 0 else 1
         mesh = make_mesh(jax.devices()[:n_dev], model_parallel=mp)
-        problem = shard_problem(problem, mesh)
-        state = shard_state(state, mesh)
-        run = make_sharded_run_chunk(problem, mesh, cfg, mc, CHUNK)
-
-    state, dead = run(problem, state)     # warm-up compile + first chunk
-    jax.block_until_ready(dead.L)
-    t0 = time.time()
-    for _ in range(REPS):
-        state, dead = run(problem, state)
-    jax.block_until_ready(dead.L)
-    dt = (time.time() - t0) / REPS
-    return dict(
+        sharded_problem = shard_problem(problem, mesh)
+        sharded_state = shard_state(state, mesh)
+        run = make_sharded_run_chunk(sharded_problem, mesh, cfg, mc, CHUNK)
+        dt = _time_chunks(run, sharded_problem, sharded_state)
+        # Same total workload, unsharded, on the same shared host cores.
+        # NOTE what this measures on a virtual CPU mesh: proposal
+        # generation is REPLICATED per device (free on real chips, n_dev x
+        # extra host FLOPs here) and the lockstep collectives serialize the
+        # shared thread pool — so this is an upper bound mixing replication
+        # cost with collective overhead, not an ICI number. The analytic
+        # per-iteration collective payload below is the ICI-relevant size.
+        dt_single = _time_chunks(run_single, problem, state)
+    row = dict(
         n_dev=n_dev, D=D,
         model_parallel=int(os.environ.get("MESH_MODEL_PARALLEL", "1"))
         if n_dev > 1 else 1,
@@ -76,6 +97,18 @@ def bench_one(n_dev: int, data) -> dict:
         iters_per_s=round(CHUNK / dt, 2),
         datasets_x_iters_per_s=round(D * CHUNK / dt, 1),
     )
+    if n_dev > 1:
+        row["sharded_overhead_on_shared_host_pct"] = round(
+            100 * (dt / dt_single - 1), 1)
+        # Per fill-loop iteration the engine moves: two [eval_batch] int32
+        # psum votes (chain accept + new-point vote, engine._global_or_rows)
+        # plus a handful of scalar psums/pmaxes; each region rebuild
+        # all-gathers [member_capacity] int32 live-point indices
+        # (engine.unique_members). Everything else (pile, proposals, RNG)
+        # is replicated by construction — zero bytes on the wire.
+        row["collective_bytes_per_fill_iter"] = 2 * cfg.eval_batch * 4 + 8 * 4
+        row["collective_bytes_per_region_rebuild"] = mc * 4 * n_dev
+    return row
 
 
 def main():

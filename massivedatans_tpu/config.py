@@ -36,6 +36,15 @@ class RunConfig:
                                       # (whitenedmcmc.py:200-264 family)
     force_shrink: bool = True        # sample.py:134
     nbootstraps: int = 10            # radfriendsregion.py:59
+    radius_estimator: str = "bootstrap"  # bootstrap | jackknife (the
+                                     # friends.py:30-33 jackknife option:
+                                     # leave-one-out max-NN radius)
+    phantom_capacity: int = 0        # keep_phantom_points (friends.py:54-59,
+                                     # 81-84): carry the Q highest-L dead
+                                     # points as extra region members so
+                                     # freshly-dead modes stay covered;
+                                     # 0 = off (the reference default).
+                                     # Requires force_shrink, as upstream.
     check_every: int = 50            # tolerance-check cadence in iterations
                                      # (multi_nested_integrator.py:136); runs
                                      # on-device (engine.device_termination);
@@ -75,6 +84,17 @@ class RunConfig:
                                      # column_focus_groups components
     column_focus_groups: int = 8
 
+    def __post_init__(self):
+        if self.phantom_capacity > 0 and not self.force_shrink:
+            # phantom members may only EXTEND coverage; without force_shrink
+            # they would inflate the radius estimate itself (the reference's
+            # assert, friends.py:54-55)
+            raise ValueError("phantom_capacity > 0 requires force_shrink")
+        if self.radius_estimator not in ("bootstrap", "jackknife"):
+            raise ValueError(
+                f"unknown radius_estimator {self.radius_estimator!r}"
+            )
+
     @classmethod
     def from_env(cls, **overrides) -> "RunConfig":
         """Build a config honoring the reference's env flags, then overrides."""
@@ -85,6 +105,10 @@ class RunConfig:
             min_samples=_env_int("MINSAMPLES", cls.min_samples),
             constrainer=_env_str("CONSTRAINER", cls.constrainer),
             slice_direction=_env_str("SLICE_DIRECTION", cls.slice_direction),
+            radius_estimator=_env_str(
+                "RADIUS_ESTIMATOR", cls.radius_estimator
+            ),
+            phantom_capacity=_env_int("PHANTOM_POINTS", cls.phantom_capacity),
             # USE_GRAPH selects the subset-decomposition path in the
             # reference (sample.py:189); here it gates the host-side
             # connected-component decomposition entirely

@@ -67,6 +67,9 @@ class EngineState(NamedTuple):
     # --- group decomposition advisory (host-computed, ns/subsets.py) ---
     group_id: jax.Array    # [D] int32 connected-component label
     n_groups: jax.Array    # scalar int32 (>= 1)
+    # --- phantom points (friends.py:54-59,81-84 keep_phantom_points) ---
+    phantom_idx: jax.Array  # [Q] int32 pile rows; -1 = empty slot
+    phantom_L: jax.Array    # [Q] their likelihoods (top-Q dead points)
     # --- diagnostics ---
     stall_count: jax.Array  # [D] int32: fill rounds exhausted with empty shelf
     member_overflow: jax.Array  # scalar int32: unique live points > capacity events
@@ -152,13 +155,18 @@ def _dedup_random(flat, capacity: int, key):
     return members_idx, member_mask, (n_unique > capacity).astype(jnp.int32)
 
 
-def unique_members(live_idx, col_mask, capacity: int, key, axis_name=None):
+def unique_members(live_idx, col_mask, capacity: int, key, axis_name=None,
+                   extra_idx=None):
     """Compacted unique pile indices over the selected dataset columns.
 
     Replaces ``get_unique_pointsp`` (multi_nested_sampler.py:130-132). Returns
     ``(members_idx[M], member_mask[M], overflowed)``; when more than
     ``capacity`` unique points exist a random subset is kept (see
     ``_dedup_random``) and ``overflowed`` is set.
+
+    ``extra_idx``: additional pile rows (phantom points, friends.py:81-84)
+    deduplicated into the member set alongside the live columns; slots
+    holding -1 are ignored.
 
     Under a dataset mesh (``axis_name``), the per-shard unique sets are
     all-gathered (pile indices are globally consistent because the pile is
@@ -169,6 +177,8 @@ def unique_members(live_idx, col_mask, capacity: int, key, axis_name=None):
     """
     k1, k2 = jax.random.split(key)
     flat = jnp.where(col_mask[None, :], live_idx, -1).reshape(-1)
+    if extra_idx is not None:
+        flat = jnp.concatenate([flat, extra_idx])
     members_idx, member_mask, overflow = _dedup_random(flat, capacity, k1)
     if axis_name is None:
         return members_idx, member_mask, overflow
@@ -198,8 +208,13 @@ def _build_geometry_from(strategy, state: EngineState, col_mask, key,
     must be allowed to GROW to keep the union-of-balls covering the contour.
     """
     key, k_dedup = jax.random.split(key)
+    # phantom members (the top-Q dead points) join every region build; they
+    # only EXTEND the union's coverage — force_shrink (required by config
+    # when phantoms are on) keeps them from inflating the radius across
+    # rebuilds (the reference's assert, friends.py:54-55)
     members_idx, member_mask, overflow = unique_members(
-        state.live_idx, col_mask, member_capacity, k_dedup, axis_name
+        state.live_idx, col_mask, member_capacity, k_dedup, axis_name,
+        extra_idx=state.phantom_idx if state.phantom_idx.shape[0] else None,
     )
     members_u = state.pile_u[members_idx]
     if carry_cap:
@@ -252,6 +267,8 @@ def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
         prev_radius=jnp.float32(0.0),
         group_id=jnp.zeros((D,), jnp.int32),
         n_groups=jnp.int32(1),
+        phantom_idx=jnp.full((cfg.phantom_capacity,), -1, jnp.int32),
+        phantom_L=jnp.full((cfg.phantom_capacity,), _NEG_INF, jnp.float32),
         stall_count=jnp.zeros((D,), jnp.int32),
         member_overflow=jnp.int32(0),
     )
@@ -541,6 +558,23 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
         jnp.where(adv, head_idx, dead_p)
     )
     live_L = state.live_L.at[worst, cols].set(jnp.where(adv, head_L, dead_L))
+
+    # --- phantom-point memory (friends.py keep_phantom_points) ---
+    # merge this iteration's dead points into the top-Q-by-L buffer so the
+    # most recently vacated contour neighborhoods stay covered by region
+    # builds. Under a mesh the dead set is all-gathered first, keeping the
+    # (replicated) buffer bit-identical on every shard.
+    Q = state.phantom_idx.shape[0]
+    if Q > 0:
+        cand_L = jnp.where(adv, dead_L, _NEG_INF)
+        cand_i = jnp.where(adv, dead_p, -1)
+        if axis_name is not None:
+            cand_L = jax.lax.all_gather(cand_L, axis_name).reshape(-1)
+            cand_i = jax.lax.all_gather(cand_i, axis_name).reshape(-1)
+        all_L = jnp.concatenate([state.phantom_L, cand_L])
+        all_i = jnp.concatenate([state.phantom_idx, cand_i])
+        top_L, sel = jax.lax.top_k(all_L, Q)
+        state = state._replace(phantom_idx=all_i[sel], phantom_L=top_L)
 
     # --- streaming evidence update (multi_nested_integrator.py:105-161) ---
     # `active` gates the iteration counter and volume shrinkage so trailing

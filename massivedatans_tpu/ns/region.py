@@ -175,6 +175,28 @@ def bootstrapped_sq_radius(
     return jnp.max(jax.vmap(one_round)(inbag))
 
 
+def jackknife_sq_radius(w, mask, norm: str = "euclidean") -> jax.Array:
+    """Squared leave-one-out radius: the largest nearest-OTHER-neighbor
+    distance over the members.
+
+    The reference's ``jackknife=True`` estimator (friends.py:30-33,71-75 →
+    ``nearest_rdistance_guess``, clustering/neighbors.py:185-194, C kernel
+    ``most_distant_nearest_neighbor``, cneighbors.c:32-75): instead of
+    bootstrap rounds that leave out a random group, each point is left out
+    in turn and must be covered by a ball around its nearest neighbor.
+    Cheaper (one pairwise pass, no bootstrap axis) and less conservative
+    (radii come out smaller, trading robustness for acceptance rate).
+    """
+    M = mask.shape[0]
+    d2 = _pairwise(w, w, norm)
+    self_or_invalid = jnp.eye(M, dtype=bool) | ~mask[None, :]
+    nearest = jnp.min(jnp.where(self_or_invalid, _POS_BIG, d2), axis=1)
+    # a single valid member has no neighbor: fall back to radius 0 (the
+    # caller's box proposal still covers the point itself)
+    nearest = jnp.where(nearest >= _POS_BIG, 0.0, nearest)
+    return jnp.max(jnp.where(mask, nearest, 0.0))
+
+
 def build_region(
     members_u,
     member_mask,
@@ -184,17 +206,24 @@ def build_region(
     prev_scale=None,
     prev_radius=None,
     norm: str = "euclidean",
+    estimator: str = "bootstrap",
 ) -> Region:
     """Whiten + bootstrap-radius region build (hiermetriclearn.py:48-92).
 
     ``force_shrink`` semantics: when the (quantized) metric scale is unchanged
     from the previous build, the radius may only shrink
     (hiermetriclearn.py:88-91). ``norm="chebyshev"`` gives the SupFriends
-    union-of-boxes region (friends.py:14-21).
+    union-of-boxes region (friends.py:14-21). ``estimator="jackknife"``
+    selects the leave-one-out radius (friends.py jackknife option).
     """
     metric = fit_metric(members_u, member_mask, metriclearner)
     w = metric.transform(members_u)
-    r2 = bootstrapped_sq_radius(w, member_mask, key, nbootstraps, norm=norm)
+    if estimator == "jackknife":
+        r2 = jackknife_sq_radius(w, member_mask, norm=norm)
+    elif estimator == "bootstrap":
+        r2 = bootstrapped_sq_radius(w, member_mask, key, nbootstraps, norm=norm)
+    else:
+        raise ValueError(f"unknown radius estimator {estimator!r}")
     radius = jnp.sqrt(r2)
     if prev_scale is not None and prev_radius is not None:
         same_metric = jnp.all(prev_scale == metric.scale)

@@ -80,6 +80,7 @@ def make_mlfriends(
             prev_scale=prev_scale if cfg.force_shrink else None,
             prev_radius=prev_radius if cfg.force_shrink else None,
             norm=norm,
+            estimator=cfg.radius_estimator,
         )
 
     def init_chains(geom, key):

@@ -79,6 +79,7 @@ def state_pspecs() -> EngineState:
         iteration=r, ndraws=r,
         prev_scale=r, prev_radius=r,
         group_id=d, n_groups=r,
+        phantom_idx=r, phantom_L=r,  # replicated: merged from all-gathered dead
         stall_count=d, member_overflow=r,
     )
 

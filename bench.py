@@ -140,6 +140,7 @@ def main():
         return 0
 
     baseline_s = None
+    baseline_kind = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baseline_ref.json")
     if os.path.exists(base_path):
@@ -147,6 +148,35 @@ def main():
             base = json.load(fh)
         key = f"horns_n{N_GEN}_ndata{NDATA}_nlive{NLIVE}"
         baseline_s = base.get(key, {}).get("duration")
+        baseline_kind = "measured" if baseline_s else None
+        if baseline_s is None and NLIVE == 400:
+            # no measured reference run at this exact ndata: extrapolate a
+            # power law duration ~ a * ndata^b through the measured horns
+            # anchors (the reference's own claim is sublinear ~sqrt(N)
+            # scaling of evals, pres/massivens4.lyx:1455-1472; wall-clock
+            # adds the O(ndata) likelihood cost). Marked in extra so a
+            # fitted denominator is never mistaken for a measured one.
+            import re
+
+            pts = []
+            for k, v in base.items():
+                m = re.match(r"horns_n\d+_ndata(\d+)_nlive400$", k)
+                if m and v.get("duration"):
+                    pts.append((int(m.group(1)), float(v["duration"])))
+            if len(pts) >= 2:
+                import math
+
+                xs = [math.log(p[0]) for p in pts]
+                ys = [math.log(p[1]) for p in pts]
+                n = len(pts)
+                mx, my = sum(xs) / n, sum(ys) / n
+                b = (sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+                     / max(sum((x - mx) ** 2 for x in xs), 1e-12))
+                a = my - b * mx
+                baseline_s = math.exp(a + b * math.log(NDATA))
+                baseline_kind = (
+                    f"extrapolated: {len(pts)} anchors, exponent {b:.2f}"
+                )
 
     # Achieved model-evaluation FLOP rate: every evaluated candidate row is
     # one [nx] . [nx, D] chi^2 contraction (2*nx*D FLOPs) plus the model
@@ -173,6 +203,7 @@ def main():
             "likelihood_flops_unit": "GFLOP/s",
             "mfu_vs_v5e_bf16_peak": round(flops_per_s / V5E_PEAK_BF16, 6),
             "total_bench_s": round(time.time() - t_start, 1),
+            "baseline": baseline_kind,
         },
     }
     if used_chunk != CHUNK_STAGES[0]:

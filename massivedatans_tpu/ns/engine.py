@@ -388,6 +388,19 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
             # component too rarely; rebuild from the UNION of empty datasets
             # instead — its bootstrapped radius/metric is a conservative
             # (larger) covering scale for every column's ball proposals.
+            #
+            # Design note — why refocus rebuilds do NOT carry a per-group
+            # force-shrink radius (the reference's mask-keyed region cache,
+            # cachedconstrainer.py:35-90, keeps one radius per dataset-mask
+            # generation): group labels here are advisory and UNSTABLE —
+            # the host recomputes connected components each chunk, so label
+            # g can name a different (e.g. freshly merged) dataset set at
+            # the next refocus. Capping that set's radius with the previous
+            # label-g radius could under-cover the new contour, which biases
+            # evidences; a from-scratch bootstrap is always a valid cover.
+            # The rebuild itself is cheap next to a fill round (the
+            # bootstrap pairwise pass is O(nb·M²) ≪ the B×nx×D likelihood
+            # matmul), so correctness wins over the cache.
             grp = ((rnd - nsuperset_rounds) // focus_every) % jnp.maximum(
                 state.n_groups, 1
             )

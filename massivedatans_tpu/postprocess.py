@@ -85,6 +85,54 @@ def plot_posterior(out: dict, truth: dict | None = None, d: int = 0,
     return xs
 
 
+def recovered_redshifts(out: dict, rest_wave: float = 440.0,
+                        std_cut: float = 50.0, size: int = 1000, rng=None):
+    """Population redshift recovery (plotposterior.py:19-33): per dataset,
+    resample the posterior of the line position mu (param 1); datasets with
+    mu.std() < ``std_cut`` are well-constrained and contribute
+    ``z = mean(mu)/rest_wave - 1``.
+
+    Returns ``(zs, constrained_mask)`` — the recovered redshifts of the
+    constrained datasets and the per-dataset mask.
+    """
+    rng = rng or np.random.default_rng(0)
+    D = out["logZ"].shape[0]
+    zs, mask = [], np.zeros(D, bool)
+    for d in range(D):
+        mu = posterior_samples(out, d, size=size, rng=rng)[:, 1]
+        if mu.std() < std_cut:
+            mask[d] = True
+            zs.append(mu.mean() / rest_wave - 1.0)
+    return np.asarray(zs), mask
+
+
+def plot_posterior_z(out: dict, path="plotposteriorz.pdf",
+                     rest_wave: float = 440.0, alpha: float = 2.0,
+                     beta: float = 7.0):
+    """Recovered-redshift histogram against the injected Beta(alpha, beta)
+    distribution (plotposterior.py:57-67) — the reference's
+    posterior-recovery acceptance test for the ``gensimple`` suite."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from scipy import stats
+
+    zs, mask = recovered_redshifts(out, rest_wave=rest_wave)
+    plt.figure(figsize=(5, 2.5))
+    plt.hist(zs, bins=10, histtype="step", density=True,
+             label="Well-constrained lines")
+    grid = np.linspace(0, 1, 500)
+    plt.plot(grid, stats.beta(alpha, beta).pdf(grid), "-", color="k",
+             label="Input redshift distribution")
+    plt.ylabel("Frequency")
+    plt.xlabel("Redshift")
+    plt.xlim(0, 1)
+    plt.legend(fontsize=7)
+    plt.savefig(path, bbox_inches="tight")
+    plt.close()
+    return zs, mask
+
+
 def plot_scaling(stats_files, path="scaling.pdf"):
     """Model evaluations vs dataset count with linear / sqrt(N) guide curves
     (plotscaling.py:11-41) — the repository's headline claim."""

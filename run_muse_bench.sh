@@ -1,10 +1,14 @@
 #!/bin/sh
 # resume-driven MUSE bench: the axon TPU worker dies ~50min into long runs,
-# so rerun from checkpoints until the final JSON line appears
+# so rerun from checkpoints until the final JSON line appears.
+# Logs append per attempt (muse_bench_<N>.log) so crash tails survive retries.
 cd /root/repo
+N="$1"
+LOG="muse_bench_$N.log"
 for i in 1 2 3 4 5 6 7 8 9 10 11 12; do
-  timeout 3500 python tools/muse_bench.py "$1" muse_bench_out > "muse_bench_$1.log" 2>&1
-  grep -q '"metric"' "muse_bench_$1.log" && break
+  echo "==== $(date +%H:%M:%S) attempt $i (MDT_REGION_BACKEND=${MDT_REGION_BACKEND:-auto}) ====" >> "$LOG"
+  timeout 3500 python tools/muse_bench.py "$N" muse_bench_out >> "$LOG" 2>&1
+  grep -q '"metric"' "$LOG" && break
   echo "$(date +%H:%M:%S) retry $i" >> muse_attempts.log
   sleep 30
 done

@@ -42,9 +42,11 @@ def main():
     # size the field so >= N_SPAXELS spaxels survive, then trim with maxdata
     side = max(2, math.ceil(math.sqrt(N_SPAXELS / 0.75)) + 1)
     cube_path = os.path.join(OUT, f"cube_{N_SPAXELS}.fits")
-    region_path = os.path.join(OUT, "sel.reg")
+    # the region circle is sized to THIS cube's field: keep it per-N, or a
+    # later pre-generation at another N silently shrinks the selection
+    region_path = os.path.join(OUT, f"sel_{N_SPAXELS}.reg")
     tpl_dir = os.path.join(OUT, "templates")
-    if not os.path.exists(cube_path):
+    if not (os.path.exists(cube_path) and os.path.exists(region_path)):
         synth.make_synthetic_cube(cube_path, region_path, nspec=NSPEC,
                                   ny=side, nx=side, seed=1)
     tpl_files = synth.make_template_files(tpl_dir, n_wl=1200)

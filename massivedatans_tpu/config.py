@@ -62,6 +62,15 @@ class RunConfig:
                                      # (also bounds worst-case single-program
                                      # run time: device watchdogs kill
                                      # minutes-long executions)
+    chunk_fill_budget: int = 0       # total fill rounds allowed per device
+                                     # dispatch (across all chunk_iters
+                                     # iterations); 0 = unlimited. Bounds a
+                                     # dispatch's wall time when fills
+                                     # escalate (decoupled regime / phase
+                                     # transitions): remote TPU workers kill
+                                     # minutes-long executions. Truncated
+                                     # fills are bias-free (per-dataset
+                                     # volume ledger) and resume next chunk.
     region_rebuild_every: int = 10   # NS iterations between geometry rebuilds
                                      # (reference: every 1000 draws, sample.py:134;
                                      # stale regions are supersets of the current

@@ -29,7 +29,8 @@ _META = "meta.json"
 
 # Bump whenever EngineState gains/loses/reorders fields: leaves are stored
 # positionally, so silently loading an old layout would scramble the state.
-FORMAT_VERSION = 3  # v3: phantom_idx/phantom_L (friends.py phantom points)
+FORMAT_VERSION = 4  # v4: per-dataset volume ledger ([D] logVolremaining/
+                    # logwidth) + fill_rounds counter
 
 
 def _flatten_state(state: EngineState) -> dict:

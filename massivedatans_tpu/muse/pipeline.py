@@ -104,7 +104,8 @@ def run_musefit(cube_path: str, region_path: str, zlo: float, zhi: float,
                 max_samples: int = 100000, out_prefix: str | None = None,
                 cfg_overrides: dict | None = None, progress: bool = True,
                 checkpoint_dir: str | None = None, mesh=None,
-                ages_file: str | None = None):
+                ages_file: str | None = None,
+                max_chunks: int | None = None):
     """Reference musefuse.py main flow; returns (result, problem, cube)."""
     from massivedatans_tpu.config import RunConfig
     from massivedatans_tpu.muse.likelihood import make_muse_problem
@@ -123,7 +124,8 @@ def run_musefit(cube_path: str, region_path: str, zlo: float, zhi: float,
     )
     result = multi_nested_integrator(problem, cfg, progress=progress,
                                      mesh=mesh,
-                                     checkpoint_dir=checkpoint_dir)
+                                     checkpoint_dir=checkpoint_dir,
+                                     max_chunks=max_chunks)
 
     if out_prefix is None:
         suffix = "_zsol_" if model == "ZSOL" else "_full_"

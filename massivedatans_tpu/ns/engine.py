@@ -54,8 +54,14 @@ class EngineState(NamedTuple):
     # --- integration state (multi_nested_integrator.py:90-122) ---
     logZ: jax.Array        # [D]
     H: jax.Array           # [D]
-    logVolremaining: jax.Array  # scalar
-    logwidth: jax.Array    # scalar, current iteration's log slab width
+    # Per-dataset volume ledger. The reference shares one logwidth across
+    # datasets (multi_nested_integrator.py:107-110) because every dataset
+    # advances every iteration; here a dataset can SKIP an iteration (shelf
+    # unfilled within the fill budget/round cap), and a shared ledger would
+    # silently drop that dataset's volume shell — a logZ-low bias. Each
+    # dataset's prior volume therefore shrinks only when it advances.
+    logVolremaining: jax.Array  # [D]
+    logwidth: jax.Array    # [D], current slab width at each dataset's depth
     last_logwidth: jax.Array    # [D], frozen at termination
     rem_logZ: jax.Array    # [D] remainder logZ, frozen at termination
     rem_logZerr: jax.Array  # [D] remainder logZerr, frozen at termination
@@ -73,6 +79,9 @@ class EngineState(NamedTuple):
     # --- diagnostics ---
     stall_count: jax.Array  # [D] int32: fill rounds exhausted with empty shelf
     member_overflow: jax.Array  # scalar int32: unique live points > capacity events
+    fill_rounds: jax.Array  # scalar int32: cumulative fill rounds (each one
+                            # proposal batch evaluated) — the unit of device
+                            # work the per-chunk budget meters
 
 
 class DeadChunk(NamedTuple):
@@ -87,7 +96,7 @@ class DeadChunk(NamedTuple):
 
     idx: jax.Array       # [T, D] int32 pile rows (-1 where not advanced)
     L: jax.Array         # [T, D] (-inf where not advanced)
-    logwidth: jax.Array  # [T]
+    logwidth: jax.Array  # [T, D] per-dataset slab widths
     running: jax.Array   # [T, D]
 
 
@@ -256,8 +265,8 @@ def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
         Lmax=L0.max(axis=0),
         logZ=jnp.full((D,), _NEG_INF, jnp.float32),
         H=jnp.zeros((D,), jnp.float32),
-        logVolremaining=jnp.float32(0.0),
-        logwidth=jnp.float32(jnp.log1p(-jnp.exp(-1.0 / K))),
+        logVolremaining=jnp.zeros((D,), jnp.float32),
+        logwidth=jnp.full((D,), jnp.log1p(-jnp.exp(-1.0 / K)), jnp.float32),
         last_logwidth=jnp.zeros((D,), jnp.float32),
         rem_logZ=jnp.full((D,), _NEG_INF, jnp.float32),
         rem_logZerr=jnp.zeros((D,), jnp.float32),
@@ -271,6 +280,7 @@ def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
         phantom_L=jnp.full((cfg.phantom_capacity,), _NEG_INF, jnp.float32),
         stall_count=jnp.zeros((D,), jnp.int32),
         member_overflow=jnp.int32(0),
+        fill_rounds=jnp.int32(0),
     )
 
 
@@ -339,7 +349,8 @@ def _column_proposals(pile_u, live_idx, empty, metric, radius, key, B: int,
 
 def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
                   sstate, cfg: RunConfig, member_capacity: int,
-                  axis_name=None, model_axis_name=None):
+                  axis_name=None, model_axis_name=None,
+                  budget_left=None):
     """Propose/evaluate/scatter until every running dataset has a queued
     candidate (reference __next__ fill loop, multi_nested_sampler.py:365-489).
 
@@ -347,6 +358,13 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
     every shard) — that is the shared-evaluation trick across chips: each
     shard scores the same candidates against its own dataset shard. The only
     collectives are the fill-loop vote and the pile-replication vote.
+
+    ``budget_left`` (int32 scalar) meters total fill rounds across a chunk:
+    the loop also exits when it reaches zero, leaving shelves partially
+    filled — datasets without a queued candidate simply skip this NS
+    iteration (shelves persist, so the fill resumes next iteration/chunk).
+    Bounds single-dispatch wall time: device watchdogs on remote TPU workers
+    kill minutes-long executions. Returns ``(state, budget_left)``.
     """
     S = cfg.shelf_capacity
     # the reference's nsuperset_draws counts single candidates
@@ -367,12 +385,12 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
         return _global_any(state.running & (shelves.count == 0), axis_name)
 
     def cond(carry):
-        (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd, geom,
+        (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd, budget, geom,
          sstate, overflow, more) = carry
-        return (rnd < cfg.max_fill_rounds) & more
+        return (rnd < cfg.max_fill_rounds) & (budget > 0) & more
 
     def body(carry):
-        (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd, geom,
+        (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd, budget, geom,
          sstate, overflow, more) = carry
         key, k_focus, k_prop, k_refresh = jax.random.split(key, 4)
 
@@ -495,29 +513,33 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
         ndraws = ndraws + valid.sum().astype(jnp.int32)
         pile_size = pile_size + can_store.sum().astype(jnp.int32)
         return (key, pile_u, pile_x, pile_size, shelves, ndraws, rnd + 1,
-                geom2, sstate, overflow, need_more(shelves))
+                budget - 1, geom2, sstate, overflow, need_more(shelves))
 
+    if budget_left is None:
+        budget_left = jnp.int32(2**30)
     carry = (state.key, state.pile_u, state.pile_x, state.pile_size,
-             state.shelves, state.ndraws, jnp.int32(0), geom, sstate,
-             jnp.int32(0), need_more(state.shelves))
-    (key, pile_u, pile_x, pile_size, shelves, ndraws, rounds, _geom,
-     _sstate, overflow, _more) = jax.lax.while_loop(cond, body, carry)
+             state.shelves, state.ndraws, jnp.int32(0), budget_left, geom,
+             sstate, jnp.int32(0), need_more(state.shelves))
+    (key, pile_u, pile_x, pile_size, shelves, ndraws, rounds, budget_left,
+     _geom, _sstate, overflow, _more) = jax.lax.while_loop(cond, body, carry)
     return state._replace(
         key=key, pile_u=pile_u, pile_x=pile_x, pile_size=pile_size,
         shelves=shelves, ndraws=ndraws,
         member_overflow=state.member_overflow + overflow,
-    )
+        fill_rounds=state.fill_rounds + rounds,
+    ), budget_left
 
 
 def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
                  member_capacity: int, axis_name=None, strategy=None,
-                 geom_carry=None, model_axis_name=None):
+                 geom_carry=None, model_axis_name=None, budget_left=None):
     """One joint NS iteration: clean shelves, fill, advance every dataset,
     update the streaming evidence (reference __next__ + integrator body).
 
     ``geom_carry``: previous iteration's geometry; reused (the reference's
     region-caching, cachedconstrainer.py) unless the rebuild cadence fires.
-    Returns ``((state, geom), dead)``.
+    ``budget_left``: chunk-wide fill-round budget (see ``_fill_shelves``);
+    None means unlimited. Returns ``((state, geom, budget_left), dead)``.
     """
     if strategy is None:
         from massivedatans_tpu.ns.strategies import make_strategy
@@ -555,8 +577,14 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
     state = state._replace(member_overflow=state.member_overflow + overflow)
     sstate = strategy.init_chains(geom, k_chains)
 
-    state = _fill_shelves(problem, state, strategy, geom, sstate, cfg,
-                          member_capacity, axis_name, model_axis_name)
+    state, budget_left = _fill_shelves(
+        problem, state, strategy, geom, sstate, cfg, member_capacity,
+        axis_name, model_axis_name, budget_left,
+    )
+    # a drained budget means the fill was truncated, not that the contour is
+    # unfillable — empty shelves then must not count toward stall
+    # force-termination
+    budget_out = budget_left <= 0
 
     # --- advance: replace each dataset's worst live point (.:494-534) ---
     filled = state.shelves.count > 0
@@ -590,12 +618,15 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
         state = state._replace(phantom_idx=all_i[sel], phantom_L=top_L)
 
     # --- streaming evidence update (multi_nested_integrator.py:105-161) ---
-    # `active` gates the iteration counter and volume shrinkage so trailing
+    # Per-dataset volume ledger: each dataset's slab width comes from ITS
+    # remaining volume and shrinks only when it advances, so skipped
+    # iterations (fill truncated by budget/round cap) cost time, not
+    # evidence. `active` gates the global iteration counter so trailing
     # no-op iterations inside a chunk (after every dataset terminated on
-    # device) leave the integration state untouched
+    # device) leave the counter untouched.
     active = _global_any(state.running, axis_name)
     logwidth = jnp.where(
-        active,
+        adv,
         jnp.log1p(-jnp.exp(-1.0 / K)) + state.logVolremaining,
         state.logwidth,
     )
@@ -615,9 +646,10 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
         logwidth=logwidth,
         last_logwidth=last_logwidth,
         logVolremaining=state.logVolremaining
-        - jnp.where(active, 1.0 / K, 0.0),
+        - jnp.where(adv, 1.0 / K, 0.0),
         iteration=state.iteration + active.astype(jnp.int32),
-        stall_count=state.stall_count + (state.running & ~filled),
+        stall_count=state.stall_count
+        + (state.running & ~filled & ~budget_out),
     )
     dead = DeadChunk(
         idx=jnp.where(adv, dead_p, -1),
@@ -626,7 +658,7 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
         running=state.running,
     )
     state = device_termination(state, cfg, K)
-    return (state, geom), dead
+    return (state, geom, budget_left), dead
 
 
 @functools.partial(
@@ -652,9 +684,9 @@ def run_chunk_inner(problem: Problem, state: EngineState, cfg: RunConfig,
     strategy = make_strategy(cfg)
 
     def step(carry, _):
-        st, geom = carry
+        st, geom, budget = carry
         return ns_iteration(problem, st, cfg, member_capacity, axis_name,
-                            strategy, geom, model_axis_name)
+                            strategy, geom, model_axis_name, budget)
 
     # build the initial geometry so the scan carry has a fixed structure
     key0, k_geom0 = jax.random.split(state.key)
@@ -665,8 +697,12 @@ def run_chunk_inner(problem: Problem, state: EngineState, cfg: RunConfig,
     state = state._replace(
         key=key0, member_overflow=state.member_overflow + overflow0
     )
-    (state, _geom), dead = jax.lax.scan(
-        step, (state, geom0), None, length=n_iters
+    # fresh fill-round budget per dispatch (0 = unlimited); shared across
+    # the chunk's iterations so one hard contour cannot stretch a single
+    # device execution past remote-worker watchdogs
+    budget0 = jnp.int32(cfg.chunk_fill_budget or 2**30)
+    (state, _geom, _budget), dead = jax.lax.scan(
+        step, (state, geom0, budget0), None, length=n_iters
     )
     return state, dead
 
@@ -773,6 +809,7 @@ def chunk_report(state: EngineState, dead: DeadChunk, nlive: int):
     latency of a tunneled TPU dominates otherwise)."""
     T, D = dead.L.shape
     ndraws = state.ndraws
+    rounds = state.fill_rounds
     header = jnp.stack([
         state.iteration.astype(jnp.float32),
         (ndraws // 65536).astype(jnp.float32),
@@ -782,6 +819,8 @@ def chunk_report(state: EngineState, dead: DeadChunk, nlive: int):
         state.member_overflow.astype(jnp.float32),
         jnp.float32(T),
         jnp.float32(D),
+        (rounds // 65536).astype(jnp.float32),
+        (rounds % 65536).astype(jnp.float32),
     ])
     return jnp.concatenate([
         header,
@@ -789,7 +828,7 @@ def chunk_report(state: EngineState, dead: DeadChunk, nlive: int):
         state.rem_logZ, state.rem_logZerr,
         state.running.astype(jnp.float32),
         state.stall_count.astype(jnp.float32),
-        dead.logwidth,
+        dead.logwidth.reshape(-1),
         dead.running.astype(jnp.float32).reshape(-1),
         dead.L.reshape(-1),
         # pile indices are exact in f32 (pile capacity << 2^24)
@@ -804,13 +843,14 @@ def parse_report(buf, T: int, D: int, nlive: int) -> dict:
     import numpy as np
 
     out = {}
-    o = 8
+    o = 10
     h = buf[:o]
     out["iteration"] = int(h[0])
     out["ndraws"] = int(h[1]) * 65536 + int(h[2])
     out["pile_size"] = int(h[3])
     out["stall_max"] = int(h[4])
     out["member_overflow"] = int(h[5])
+    out["fill_rounds"] = int(h[8]) * 65536 + int(h[9])
     for name in ("logZ", "H", "last_logwidth", "rem_logZ", "rem_logZerr"):
         out[name] = buf[o:o + D].astype(np.float64)
         o += D
@@ -818,8 +858,8 @@ def parse_report(buf, T: int, D: int, nlive: int) -> dict:
     o += D
     out["stall_count"] = buf[o:o + D].astype(np.int64)
     o += D
-    out["logwidth"] = buf[o:o + T]
-    o += T
+    out["logwidth"] = buf[o:o + T * D].reshape(T, D)
+    o += T * D
     out["running"] = buf[o:o + T * D].reshape(T, D) > 0.5
     o += T * D
     out["L"] = buf[o:o + T * D].reshape(T, D)

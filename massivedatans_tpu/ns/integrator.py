@@ -224,6 +224,7 @@ def multi_nested_integrator(
     final_H = np.zeros(D, np.float64)
     rep = None
     debug_timing = bool(int(os.environ.get("MDT_DEBUG_TIMING", "0")))
+    debug_prev_rounds = 0
     show_shelves = bool(int(os.environ.get("MDT_SHELF_STATUS", "0")))
     # tracing hook (survey §5): MDT_PROFILE_DIR=<dir> captures a jax
     # profiler trace of the first few chunks for xprof/tensorboard
@@ -282,7 +283,7 @@ def multi_nested_integrator(
         pending_idx.append(rep["idx"])
         dead_L.append(rep["L"])
         dead_w.append(
-            np.where(d_run, rep["logwidth"][:, None], -np.inf).astype(np.float32)
+            np.where(d_run, rep["logwidth"], -np.inf).astype(np.float32)
         )
         dead_mask.append(d_run)
         chunk_index += 1
@@ -402,11 +403,13 @@ def multi_nested_integrator(
             # time + transfer), `host` the stream/checkpoint/compact work,
             # `groups` the advisory decomposition
             print(
-                "chunk %d: wait=%.0fms host=%.0fms groups=%.0fms"
+                "chunk %d: wait=%.0fms host=%.0fms groups=%.0fms rounds=%d"
                 % (chunk_index, 1e3 * (t_c1 - t_c0),
-                   1e3 * (t_c2 - t_c1), 1e3 * (time.time() - t_c2)),
+                   1e3 * (t_c2 - t_c1), 1e3 * (time.time() - t_c2),
+                   rep.get("fill_rounds", 0) - debug_prev_rounds),
                 file=sys.stderr, flush=True,
             )
+            debug_prev_rounds = rep.get("fill_rounds", 0)
 
     if profile_dir:
         jax.profiler.stop_trace()
@@ -419,6 +422,7 @@ def multi_nested_integrator(
             stall_max=int(np.asarray(state.stall_count).max(initial=0)),
             stall_count=np.asarray(state.stall_count, np.int64),
             member_overflow=int(state.member_overflow),
+            fill_rounds=int(state.fill_rounds),
             last_logwidth=np.asarray(state.last_logwidth, np.float64),
             rem_logZ=np.asarray(state.rem_logZ, np.float64),
             rem_logZerr=np.asarray(state.rem_logZerr, np.float64),
@@ -486,6 +490,7 @@ def multi_nested_integrator(
             niter=niter,
             stalled=rep["stall_max"],
             member_overflow=rep["member_overflow"],
+            fill_rounds=rep.get("fill_rounds", 0),
             pile_peak=rep["pile_size"],
             interrupted=interrupted,
             # per-dataset quality flags (VERDICT r1 #5): evidences of

@@ -74,13 +74,13 @@ def state_pspecs() -> EngineState:
         shelves=Shelves(idx=kd, L=kd, count=d),
         running=d, Lmax=d,
         logZ=d, H=d,
-        logVolremaining=r, logwidth=r, last_logwidth=d,
+        logVolremaining=d, logwidth=d, last_logwidth=d,
         rem_logZ=d, rem_logZerr=d,
         iteration=r, ndraws=r,
         prev_scale=r, prev_radius=r,
         group_id=d, n_groups=r,
         phantom_idx=r, phantom_L=r,  # replicated: merged from all-gathered dead
-        stall_count=d, member_overflow=r,
+        stall_count=d, member_overflow=r, fill_rounds=r,
     )
 
 
@@ -88,7 +88,7 @@ def dead_pspecs() -> DeadChunk:
     return DeadChunk(
         idx=P(None, DATA_AXIS),
         L=P(None, DATA_AXIS),
-        logwidth=P(),
+        logwidth=P(None, DATA_AXIS),
         running=P(None, DATA_AXIS),
     )
 

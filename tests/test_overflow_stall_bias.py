@@ -134,3 +134,44 @@ def test_healthy_run_reports_no_stalls(tmp_path):
     with open(prefix + ".stats.json") as fh:
         stats = json.load(fh)
     assert stats["n_stalled_datasets"] == 0
+
+
+def test_chunk_fill_budget_truncation_unbiased():
+    """A tight per-dispatch fill budget truncates fills mid-chunk; with the
+    per-dataset volume ledger the skipped iterations must cost wall-clock
+    only — evidences stay within MC error of an unbudgeted run, and the
+    truncations must NOT count toward stall force-termination."""
+    import dataclasses
+
+    problem, centers, sigma = _problem()
+    want = true_logZ(centers, sigma)
+
+    base = RunConfig(
+        nlive_points=100, proposal_batch=128, eval_batch=64,
+        shelf_capacity=4, chunk_iters=25, max_fill_rounds=512,
+    )
+    # 3 rounds per 25-iteration chunk: most iterations must run on shelf
+    # stock alone and many skip entirely — the truncation path dominates
+    tight = dataclasses.replace(base, chunk_fill_budget=3)
+
+    r_tight = multi_nested_integrator(
+        problem, tight, key=jax.random.key(2), progress=False)
+    r_free = multi_nested_integrator(
+        problem, base, key=jax.random.key(2), progress=False)
+
+    # the budget must actually bind: strictly fewer rounds per chunk means
+    # more chunks/iterations to finish the same problem
+    assert r_tight.stats["fill_rounds"] > 0
+    assert r_tight.niterations > r_free.niterations
+
+    # truncation is not a stall: no dataset may be force-terminated
+    assert not r_tight.stats["stalled_mask"].any(), r_tight.stats
+
+    for r, label in [(r_tight, "tight"), (r_free, "free")]:
+        err = np.abs(r.logZ - want)
+        tol = 3.0 * (r.logZerr + 0.2)
+        assert (err < tol).all(), (label, err, tol, r.logZerr)
+
+    diff = np.abs(r_tight.logZ - r_free.logZ)
+    joint = 3.0 * (r_tight.logZerr + r_free.logZerr + 0.1)
+    assert (diff < joint).all(), (diff, joint)

@@ -26,6 +26,12 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "muse_bench_out"
 NSPEC = int(os.environ.get("MUSE_BENCH_NSPEC", "3600"))
 NLIVE = int(os.environ.get("NLIVE_POINTS", "400"))
 MAXSAMPLES = int(os.environ.get("MAXSAMPLES", "100000"))
+# Per-dispatch fill-round budget: deep MUSE runs hit fill escalations
+# (decoupled datasets / likelihood phase transitions) that stretch a
+# 50-iteration dispatch past the axon worker's execution watchdog (~60 s;
+# observed killed deterministically at iteration ~2800 of the 100-spaxel
+# run). ~25 ms/round at nspec=3600, D=100 -> 1024 rounds ~ 25 s worst case.
+FILL_BUDGET = int(os.environ.get("MUSE_BENCH_FILL_BUDGET", "1024"))
 
 # reference wall-clock anchors (spaxels -> hours), massivens4.lyx:2230
 REF_POINTS = {100: 14.9, 4223: 140.0}
@@ -60,6 +66,7 @@ def main():
         progress=True,
         # TPU workers can crash on hours-long runs; resume instead of redo
         checkpoint_dir=os.path.join(OUT, f"ckpt_{N_SPAXELS}"),
+        cfg_overrides=dict(chunk_fill_budget=FILL_BUDGET),
     )
     wall = time.time() - t0
 

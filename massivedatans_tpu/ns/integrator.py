@@ -265,6 +265,14 @@ def multi_nested_integrator(
         # runs on-device (engine.device_termination), so the host loop only
         # streams results and handles compaction/checkpoints/progress.
         buf = engine_lib.chunk_report(st, dead, K)
+        # start the D2H copy as soon as the chunk finishes computing: with
+        # lookahead > 0 several chunks are in flight, and a tunneled TPU's
+        # per-fetch round trip (0.1-4 s observed) would otherwise serialize
+        # on the blocking np.asarray below, one RTT per chunk
+        try:
+            buf.copy_to_host_async()
+        except AttributeError:  # non-jax array (tests stubbing run())
+            pass
         newest_state = st
         pipeline.append((st, buf))
 

@@ -194,6 +194,7 @@ def main():
         "extra": {
             "ndraws": int(result.ndraws),
             "niter": int(result.niterations),
+            "fill_rounds": int(result.stats.get("fill_rounds", 0)),
             "evals_per_s": round(result.ndraws / wall, 1),
             "logZ0": float(result.logZ[0]),
             "platform": platform,

@@ -5,7 +5,7 @@ Reference protocol (README.rst:22-33, BASELINE.md): generate the
 tolerance=0.5. The reference measures model evaluations and wall-clock via
 ``.stats.json`` (sample.py:215-217).
 
-Prints ONE JSON line:
+Prints one JSON line per workload; the LAST line is the metric of record:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 ``vs_baseline`` compares wall-clock against the reference implementation's
@@ -13,17 +13,27 @@ measured time for the same workload on this host's CPU (see
 ``tools/measure_reference_baseline.py``; stored in baseline_ref.json).
 Values > 1 mean the TPU framework is faster.
 
+Measurement design (VERDICT r2 #1): the engine's chunk loop exits on-device
+at termination (engine.run_chunk_inner while_loop), so with a large
+``chunk_iters`` the whole run is ONE device dispatch — the recorded wall is
+engine time plus a couple of tunnel round trips, not O(niter/chunk) round
+trips. The JSON carries the decomposition: ``device_time_s`` (one fresh
+single-dispatch execution of the full workload, minus the measured tunnel
+RTT) and ``tunnel_rtt_s``, so a slow engine is distinguishable from a slow
+tunnel.
+
 Robustness contract (VERDICT r1): the JSON line is ALWAYS emitted. The run
-is staged — if the full-size chunk graph fails to compile or run (the
-remote compile service on this host has been seen OOM-killing large
-graphs), progressively smaller per-dispatch chunk sizes are retried; the
-same scientific workload (ndata/nlive/tolerance) is preserved, only the
-dispatch granularity shrinks. A fallback run is marked ``"degraded"``; a
-total failure emits ``"error"`` with value -1.
+is staged — if the full-size chunk graph fails to compile or run,
+progressively smaller per-dispatch chunk sizes are retried; the same
+scientific workload (ndata/nlive/tolerance) is preserved, only the dispatch
+granularity shrinks. A fallback run is marked ``"degraded"``; a total
+failure emits ``"error"`` with value -1.
 """
 
 import json
+import math
 import os
+import re
 import sys
 import time
 import traceback
@@ -31,24 +41,22 @@ import traceback
 N_GEN = int(os.environ.get("BENCH_NGEN", "1000"))
 NDATA = int(os.environ.get("BENCH_NDATA", "100"))
 NLIVE = int(os.environ.get("BENCH_NLIVE", "400"))
-# NS iterations per device dispatch. The tunneled TPU's per-dispatch
-# round-trip latency is seconds-scale and variable, so larger chunks win
-# (fewer round trips) — chunk=200 measured 47 s in the same tunnel episode
-# where chunk=100 measured 227 s. The round-1 compile OOM at 200 was fixed
-# by tiling the Pallas region kernels; the staged fallback still walks down
-# if a stage fails to compile or run.
+# Dead-buffer capacity / max NS iterations per device dispatch. The chunk
+# loop exits early on-device at termination, so the first stage is sized to
+# cover a whole run (~4-6k iterations at these workloads) in one dispatch.
 CHUNK_STAGES = [int(s) for s in os.environ.get(
-    "BENCH_CHUNK_STAGES", os.environ.get("BENCH_CHUNK_ITERS", "200,100,50")
+    "BENCH_CHUNK_STAGES", os.environ.get("BENCH_CHUNK_ITERS", "8192,1024,200")
 ).split(",")]
 EVAL_BATCH = int(os.environ.get("BENCH_EVAL_BATCH", "128"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
-# chunks kept in flight: the tunneled TPU's dispatch/fetch round trip is
-# seconds-scale and VARIABLE (observed 0.1-4 s); deep pipelining overlaps it
-LOOKAHEAD = int(os.environ.get("BENCH_LOOKAHEAD", "4"))
+LOOKAHEAD = int(os.environ.get("BENCH_LOOKAHEAD", "1"))
+# second recorded workload: where the collaborative algorithm's advantage
+# actually grows (~sqrt(N) evals); 0 disables
+SECOND_NDATA = int(os.environ.get("BENCH_SECOND_NDATA", "1000"))
 
-# TPU v5e (lite) peak: 394 TFLOP/s bf16, 197 TFLOP/s int8-era fp32 path is
-# lower; we report MFU against the bf16 peak — conservative (the likelihood
-# matmul runs in f32 HIGHEST, whose achievable peak is ~1/4 of bf16).
+# TPU v5e (lite) peak: 394 TFLOP/s bf16; we report MFU against the bf16 peak
+# — conservative (the likelihood matmul runs f32 HIGHEST, whose achievable
+# peak is ~1/4 of bf16).
 V5E_PEAK_BF16 = 394e12
 
 
@@ -57,63 +65,117 @@ def emit(payload):
     sys.stdout.flush()
 
 
+def measure_rtt(n=5):
+    """Median host<->device round trip for a tiny fetch (tunnel latency)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    ts = []
+    for i in range(n + 1):
+        t = time.time()
+        np.asarray(jnp.zeros(8) + float(i))
+        ts.append(time.time() - t)
+    ts = sorted(ts[1:])  # drop the compile-carrying first call
+    return ts[len(ts) // 2]
+
+
 def run_stage(problem, cfg, warmup: bool):
-    """One full integrator run; returns (result, wall_s, warmup_s)."""
+    """One full integrator run; returns (result, wall_s, warmup_s, dev_s).
+
+    ``dev_s``: wall of one fresh single-dispatch execution of the full
+    workload (dispatch + on-device while_loop to termination + one small
+    fetch) — the engine-time measurement, taken warm.
+    """
     import jax
 
     from massivedatans_tpu.ns import engine as engine_lib
     from massivedatans_tpu.ns.integrator import multi_nested_integrator
 
     warmup_s = 0.0
+    dev_s = None
+    mc = cfg.resolve_member_capacity(problem.ndata)
     if warmup:
         # Execute the exact jitted graphs of the timed run once (same
         # cfg/shapes -> same executables), so the measurement is
         # steady-state throughput; compilation cost is reported separately.
         t_w = time.time()
-        mc = cfg.resolve_member_capacity(problem.ndata)
         st0 = engine_lib.init_state(problem, jax.random.key(1), cfg)
         st1, dead = engine_lib.run_chunk(problem, st0, cfg, mc, cfg.chunk_iters)
         buf = engine_lib.chunk_report(st1, dead, cfg.nlive_points)
         tails = engine_lib.capture_tails(st1)
         jax.block_until_ready((buf, tails))
-        del st0, st1, dead, buf, tails
         warmup_s = time.time() - t_w
+        del dead, buf, tails
+
+        # warm device-time measurement: one dispatch, minimal fetch
+        t_d = time.time()
+        st0 = engine_lib.init_state(problem, jax.random.key(1), cfg)
+        st2, _ = engine_lib.run_chunk(problem, st0, cfg, mc, cfg.chunk_iters)
+        jax.block_until_ready(st2.logZ)
+        dev_s = time.time() - t_d
+        del st0, st1, st2, _
 
     t0 = time.time()
     result = multi_nested_integrator(
         problem, cfg, key=jax.random.key(1), progress=False
     )
-    return result, time.time() - t0, warmup_s
+    return result, time.time() - t0, warmup_s, dev_s
 
 
-def main():
-    t_start = time.time()
-    try:
-        import jax
+def lookup_baseline(n_gen, ndata, nlive):
+    """(seconds, kind) from baseline_ref.json: measured at this exact config,
+    else a power law through the measured anchors of the same generator."""
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "baseline_ref.json")
+    if not os.path.exists(base_path):
+        return None, None
+    with open(base_path) as fh:
+        base = json.load(fh)
+    key = f"horns_n{n_gen}_ndata{ndata}_nlive{nlive}"
+    dur = base.get(key, {}).get("duration")
+    if dur:
+        return float(dur), "measured"
+    # no measured reference run at this exact ndata: extrapolate a power law
+    # duration ~ a * ndata^b through the measured anchors of THIS generator
+    # size and nlive (the reference's own claim is sublinear ~sqrt(N) scaling
+    # of evals, pres/massivens4.lyx:1455-1472; wall-clock adds the O(ndata)
+    # likelihood cost). Marked in extra so a fitted denominator is never
+    # mistaken for a measured one.
+    pts = []
+    for k, v in base.items():
+        m = re.match(rf"horns_n{n_gen}_ndata(\d+)_nlive{nlive}$", k)
+        if m and v.get("duration"):
+            pts.append((int(m.group(1)), float(v["duration"])))
+    if len(pts) < 2:
+        return None, None
+    xs = [math.log(p[0]) for p in pts]
+    ys = [math.log(p[1]) for p in pts]
+    n = len(pts)
+    mx, my = sum(xs) / n, sum(ys) / n
+    b = (sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+         / max(sum((x - mx) ** 2 for x in xs), 1e-12))
+    a = my - b * mx
+    return math.exp(a + b * math.log(ndata)), (
+        f"extrapolated: {len(pts)} anchors, exponent {b:.2f}"
+    )
 
-        from massivedatans_tpu.utils.cache import enable_compilation_cache
 
-        enable_compilation_cache()
+def bench_workload(data, ndata, rtt_s):
+    """Run the staged benchmark for one dataset count; returns the payload."""
+    import jax
 
-        from massivedatans_tpu.config import RunConfig
-        from massivedatans_tpu.datagen.generators import gen_horns
-        from massivedatans_tpu.models.gaussline import make_gaussline_problem
+    from massivedatans_tpu.config import RunConfig
+    from massivedatans_tpu.models.gaussline import make_gaussline_problem
 
-        data = gen_horns(N_GEN)
-        y = data["y"][:, :NDATA]
-        nx = y.shape[0]
-        problem = make_gaussline_problem(data["x"], y, data["noise_level"])
-        platform = jax.devices()[0].platform
-    except Exception:
-        emit({"metric": "wall-clock horns (setup failed)", "value": -1.0,
-              "unit": "s", "vs_baseline": 0.0,
-              "extra": {"error": traceback.format_exc(limit=3)}})
-        return 0
+    y = data["y"][:, :ndata]
+    nx = y.shape[0]
+    problem = make_gaussline_problem(data["x"], y, data["noise_level"])
+    platform = jax.devices()[0].platform
 
     errors = []
-    result = wall = warmup_s = None
+    result = wall = warmup_s = dev_s = None
     used_chunk = None
-    for stage_i, chunk in enumerate(CHUNK_STAGES):
+    for chunk in CHUNK_STAGES:
         cfg = RunConfig(
             nlive_points=NLIVE,
             tolerance=0.5,
@@ -124,7 +186,7 @@ def main():
             pipeline_lookahead=LOOKAHEAD,
         )
         try:
-            result, wall, warmup_s = run_stage(problem, cfg, warmup=WARMUP)
+            result, wall, warmup_s, dev_s = run_stage(problem, cfg, warmup=WARMUP)
             used_chunk = chunk
             break
         except Exception:
@@ -132,62 +194,26 @@ def main():
             errors.append({"chunk_iters": chunk, "error": err.splitlines()[-1]})
             sys.stderr.write(f"[bench] stage chunk_iters={chunk} failed:\n{err}\n")
 
+    metric = f"wall-clock horns ndata={ndata} nlive={NLIVE} tol=0.5"
     if result is None:
-        emit({"metric": f"wall-clock horns ndata={NDATA} nlive={NLIVE} tol=0.5",
-              "value": -1.0, "unit": "s", "vs_baseline": 0.0,
-              "extra": {"error": "all stages failed", "stages": errors,
-                        "platform": platform}})
-        return 0
+        return {"metric": metric, "value": -1.0, "unit": "s",
+                "vs_baseline": 0.0,
+                "extra": {"error": "all stages failed", "stages": errors,
+                          "platform": platform}}
 
-    baseline_s = None
-    baseline_kind = None
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "baseline_ref.json")
-    if os.path.exists(base_path):
-        with open(base_path) as fh:
-            base = json.load(fh)
-        key = f"horns_n{N_GEN}_ndata{NDATA}_nlive{NLIVE}"
-        baseline_s = base.get(key, {}).get("duration")
-        baseline_kind = "measured" if baseline_s else None
-        if baseline_s is None and NLIVE == 400:
-            # no measured reference run at this exact ndata: extrapolate a
-            # power law duration ~ a * ndata^b through the measured horns
-            # anchors (the reference's own claim is sublinear ~sqrt(N)
-            # scaling of evals, pres/massivens4.lyx:1455-1472; wall-clock
-            # adds the O(ndata) likelihood cost). Marked in extra so a
-            # fitted denominator is never mistaken for a measured one.
-            import re
-
-            pts = []
-            for k, v in base.items():
-                m = re.match(r"horns_n\d+_ndata(\d+)_nlive400$", k)
-                if m and v.get("duration"):
-                    pts.append((int(m.group(1)), float(v["duration"])))
-            if len(pts) >= 2:
-                import math
-
-                xs = [math.log(p[0]) for p in pts]
-                ys = [math.log(p[1]) for p in pts]
-                n = len(pts)
-                mx, my = sum(xs) / n, sum(ys) / n
-                b = (sum((x - mx) * (y - my) for x, y in zip(xs, ys))
-                     / max(sum((x - mx) ** 2 for x in xs), 1e-12))
-                a = my - b * mx
-                baseline_s = math.exp(a + b * math.log(NDATA))
-                baseline_kind = (
-                    f"extrapolated: {len(pts)} anchors, exponent {b:.2f}"
-                )
+    baseline_s, baseline_kind = lookup_baseline(N_GEN, ndata, NLIVE)
 
     # Achieved model-evaluation FLOP rate: every evaluated candidate row is
     # one [nx] . [nx, D] chi^2 contraction (2*nx*D FLOPs) plus the model
     # curve itself (~6*nx, negligible). MFU is quoted against the bf16 MXU
     # peak even though the matmul runs f32-HIGHEST — a deliberately
     # conservative absolute scale (VERDICT r1 #9).
-    flops = 2.0 * float(result.ndraws) * nx * NDATA
-    flops_per_s = flops / wall
+    flops = 2.0 * float(result.ndraws) * nx * ndata
+    device_time_s = max(dev_s - rtt_s, 1e-9) if dev_s is not None else None
+    rate_t = device_time_s if device_time_s else wall
     vs = (baseline_s / wall) if baseline_s else 0.0
     payload = {
-        "metric": f"wall-clock horns ndata={NDATA} nlive={NLIVE} tol=0.5",
+        "metric": metric,
         "value": round(wall, 2),
         "unit": "s",
         "vs_baseline": round(vs, 2),
@@ -200,15 +226,55 @@ def main():
             "platform": platform,
             "warmup_compile_s": round(warmup_s, 2),
             "chunk_iters": used_chunk,
-            "likelihood_flops_per_s": round(flops_per_s / 1e9, 2),
+            # engine-vs-tunnel decomposition (VERDICT r2 weak #1b)
+            "device_time_s": (round(device_time_s, 3)
+                              if device_time_s is not None else None),
+            "tunnel_rtt_s": round(rtt_s, 3),
+            "dispatch_overhead_s": (round(wall - device_time_s, 3)
+                                    if device_time_s is not None else None),
+            "likelihood_flops_per_s_device": round(flops / rate_t / 1e9, 2),
             "likelihood_flops_unit": "GFLOP/s",
-            "mfu_vs_v5e_bf16_peak": round(flops_per_s / V5E_PEAK_BF16, 6),
-            "total_bench_s": round(time.time() - t_start, 1),
+            "mfu_vs_v5e_bf16_peak": round(flops / rate_t / V5E_PEAK_BF16, 8),
             "baseline": baseline_kind,
+            "baseline_s": baseline_s,
         },
     }
     if used_chunk != CHUNK_STAGES[0]:
         payload["extra"]["degraded"] = {"failed_stages": errors}
+    return payload
+
+
+def main():
+    t_start = time.time()
+    try:
+        from massivedatans_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
+        from massivedatans_tpu.datagen.generators import gen_horns
+
+        data = gen_horns(N_GEN)
+        rtt_s = measure_rtt()
+    except Exception:
+        emit({"metric": "wall-clock horns (setup failed)", "value": -1.0,
+              "unit": "s", "vs_baseline": 0.0,
+              "extra": {"error": traceback.format_exc(limit=3)}})
+        return 0
+
+    # secondary workload first (the record line must be LAST): the scaling
+    # regime where joint sampling wins, at a measured reference denominator
+    # when tools/measure_reference_baseline.py has produced one
+    if SECOND_NDATA and SECOND_NDATA != NDATA and SECOND_NDATA <= N_GEN:
+        try:
+            second = bench_workload(data, SECOND_NDATA, rtt_s)
+            second["extra"]["total_bench_s"] = round(time.time() - t_start, 1)
+            emit(second)
+        except Exception:
+            sys.stderr.write("[bench] secondary workload failed:\n"
+                             + traceback.format_exc(limit=3))
+
+    payload = bench_workload(data, NDATA, rtt_s)
+    payload["extra"]["total_bench_s"] = round(time.time() - t_start, 1)
     emit(payload)
     return 0
 

@@ -92,6 +92,16 @@ class RunConfig:
                                      # datasets have decoupled into more than
                                      # column_focus_groups components
     column_focus_groups: int = 8
+    column_focus_fallback_rounds: int = 12  # fill rounds within one NS
+                                     # iteration after which column proposals
+                                     # activate REGARDLESS of the group count:
+                                     # datasets can be likelihood-decoupled
+                                     # (disjoint contours) long before they
+                                     # stop sharing pile points, in which case
+                                     # the group heuristic says "1 group" while
+                                     # union-region sampling efficiency has
+                                     # collapsed (observed: 1.25% valid at
+                                     # MUSE iteration 22k). 0 disables.
 
     def __post_init__(self):
         if self.phantom_capacity > 0 and not self.force_shrink:

@@ -217,13 +217,8 @@ def _build_geometry_from(strategy, state: EngineState, col_mask, key,
     must be allowed to GROW to keep the union-of-balls covering the contour.
     """
     key, k_dedup = jax.random.split(key)
-    # phantom members (the top-Q dead points) join every region build; they
-    # only EXTEND the union's coverage — force_shrink (required by config
-    # when phantoms are on) keeps them from inflating the radius across
-    # rebuilds (the reference's assert, friends.py:54-55)
     members_idx, member_mask, overflow = unique_members(
         state.live_idx, col_mask, member_capacity, k_dedup, axis_name,
-        extra_idx=state.phantom_idx if state.phantom_idx.shape[0] else None,
     )
     members_u = state.pile_u[members_idx]
     if carry_cap:
@@ -231,8 +226,20 @@ def _build_geometry_from(strategy, state: EngineState, col_mask, key,
         prev_radius = jnp.where(overflow > 0, 0.0, state.prev_radius)
     else:
         prev_radius = jnp.float32(0.0)
+    # phantom members (the top-Q dead points, friends.py:79-84): appended as
+    # extra ball centers AFTER the metric fit and radius estimate, which use
+    # live members only — phantoms may only EXTEND the union's coverage,
+    # never inflate the fitted scale or radius (the reference adds phantoms
+    # to the member set only after maxdistance is computed and force-shrunk)
+    Q = state.phantom_idx.shape[0]
+    if Q > 0:
+        extra_u = state.pile_u[jnp.maximum(state.phantom_idx, 0)]
+        extra_mask = state.phantom_idx >= 0
+    else:
+        extra_u = extra_mask = None
     geom = strategy.build(
-        members_u, member_mask, key, state.prev_scale, prev_radius
+        members_u, member_mask, key, state.prev_scale, prev_radius,
+        extra_u=extra_u, extra_mask=extra_mask,
     )
     return geom, overflow
 
@@ -315,9 +322,32 @@ def _column_proposals(pile_u, live_idx, empty, metric, radius, key, B: int,
     cols = jax.random.categorical(kd, logits, shape=(B,))
     mem_w = metric.transform(pile_u[live_idx[:, cols]])   # [K, B, ndim]
 
+    if norm == "euclidean":
+        # Per-column jackknife radius (the friends.py leave-one-out
+        # estimator, per dataset): the caller's union-region radius is fit
+        # on a — possibly overflow-subsampled — union of separated
+        # clusters, so it can exceed one column's own live-point scale by
+        # orders of magnitude, inflating the box volume by (2r/cluster)^d
+        # and collapsing acceptance. One batched MXU pass over the sampled
+        # columns' own points gives each column a cover radius at its own
+        # scale.
+        cross = jnp.einsum(
+            "kbd,lbd->klb", mem_w, mem_w,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ss = jnp.sum(jnp.square(mem_w), axis=-1)          # [K, B]
+        d2_col = jnp.maximum(
+            ss[:, None, :] + ss[None, :, :] - 2.0 * cross, 0.0
+        )                                                 # [K, K, B]
+        d2_col = d2_col + (1e30 * jnp.eye(K))[:, :, None]
+        nn = jnp.min(d2_col, axis=1)                      # [K, B]
+        radius = jnp.sqrt(jnp.maximum(jnp.max(nn, axis=0), 1e-24))  # [B]
+    else:
+        radius = jnp.broadcast_to(radius, (B,))
+
     # box half: uniform in the column's whitened bounding box (+r)
-    lo = jnp.min(mem_w, axis=0) - radius                  # [B, ndim]
-    hi = jnp.max(mem_w, axis=0) + radius
+    lo = jnp.min(mem_w, axis=0) - radius[:, None]         # [B, ndim]
+    hi = jnp.max(mem_w, axis=0) + radius[:, None]
     w_box = lo + (hi - lo) * jax.random.uniform(kbox, (B, ndim))
 
     # ball half: around a random member of the column
@@ -325,7 +355,7 @@ def _column_proposals(pile_u, live_idx, empty, metric, radius, key, B: int,
     c_w = jnp.take_along_axis(
         mem_w, rows[None, :, None], axis=0
     )[0]                                                  # [B, ndim]
-    w_ball = c_w + ball_offsets(kball, B, ndim, radius, norm=norm)
+    w_ball = c_w + ball_offsets(kball, B, ndim, radius[:, None], norm=norm)
 
     use_box = jnp.arange(B) < (B // 2)
     w = jnp.where(use_box[:, None], w_box, w_ball)
@@ -446,9 +476,21 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
 
         if col_capable:
             # alternate region rounds with direct empty-column rounds once
-            # the datasets have decoupled past the group-cycling regime
+            # the datasets have decoupled past the group-cycling regime —
+            # or, fallback, once THIS fill loop has burned
+            # column_focus_fallback_rounds rounds without filling: datasets
+            # sharing ancient pile points still count as one "group" while
+            # their likelihood contours have long separated, and a union
+            # region over separated tight clusters samples at ~V_union/V_box
+            # (observed 1.25% valid at MUSE iteration 22k, saturating the
+            # fill budget); the per-column box proposal is O(1)-efficient
+            # there
+            fallback = (
+                (cfg.column_focus_fallback_rounds > 0)
+                & (rnd >= nsuperset_rounds + cfg.column_focus_fallback_rounds)
+            )
             use_cols = (
-                (state.n_groups > cfg.column_focus_groups)
+                ((state.n_groups > cfg.column_focus_groups) | fallback)
                 & (rnd >= nsuperset_rounds)
                 & ((rnd - nsuperset_rounds) % 2 == 1)
             )
@@ -678,17 +720,24 @@ def run_chunk(problem: Problem, state: EngineState, cfg: RunConfig,
 def run_chunk_inner(problem: Problem, state: EngineState, cfg: RunConfig,
                     member_capacity: int, n_iters: int, axis_name=None,
                     model_axis_name=None):
-    """Un-jitted chunk body, for wrapping in shard_map (parallel/sharded.py)."""
+    """Un-jitted chunk body, for wrapping in shard_map (parallel/sharded.py).
+
+    A ``while_loop`` over NS iterations with an EARLY EXIT once every dataset
+    has terminated on-device (rather than a fixed-length scan padded with
+    no-op iterations): ``n_iters`` is the dead-buffer capacity and upper
+    bound, not the exact trip count. This makes very large ``chunk_iters``
+    free — a whole run to termination can be ONE device dispatch, so the
+    host↔device round-trip count is O(1) instead of O(niter / chunk_iters)
+    (the dominant wall-clock cost through a high-latency TPU tunnel). Rows
+    of the dead buffer beyond the executed iteration count are unwritten
+    (idx=-1, running=False); the host slices them off via the iteration
+    delta in the packed report.
+    """
     from massivedatans_tpu.ns.strategies import make_strategy
 
     strategy = make_strategy(cfg)
 
-    def step(carry, _):
-        st, geom, budget = carry
-        return ns_iteration(problem, st, cfg, member_capacity, axis_name,
-                            strategy, geom, model_axis_name, budget)
-
-    # build the initial geometry so the scan carry has a fixed structure
+    # build the initial geometry so the loop carry has a fixed structure
     key0, k_geom0 = jax.random.split(state.key)
     geom0, overflow0 = _build_geometry_from(
         strategy, state._replace(key=key0), state.running, k_geom0, cfg,
@@ -701,9 +750,37 @@ def run_chunk_inner(problem: Problem, state: EngineState, cfg: RunConfig,
     # the chunk's iterations so one hard contour cannot stretch a single
     # device execution past remote-worker watchdogs
     budget0 = jnp.int32(cfg.chunk_fill_budget or 2**30)
-    (state, _geom, _budget), dead = jax.lax.scan(
-        step, (state, geom0, budget0), None, length=n_iters
+    D = state.live_L.shape[1]
+    dead0 = DeadChunk(
+        idx=jnp.full((n_iters, D), -1, jnp.int32),
+        L=jnp.full((n_iters, D), _NEG_INF, jnp.float32),
+        logwidth=jnp.zeros((n_iters, D), jnp.float32),
+        running=jnp.zeros((n_iters, D), bool),
     )
+
+    def cond(carry):
+        st, _geom, _budget, _dead, cursor = carry
+        # every executed iteration has some dataset running, so the global
+        # iteration counter advances exactly once per body execution and the
+        # cursor tracks it (the host relies on this to slice written rows)
+        return (cursor < n_iters) & _global_any(st.running, axis_name)
+
+    def body(carry):
+        st, geom, budget, dead, cursor = carry
+        (st, geom, budget), row = ns_iteration(
+            problem, st, cfg, member_capacity, axis_name, strategy, geom,
+            model_axis_name, budget,
+        )
+        dead = DeadChunk(
+            idx=dead.idx.at[cursor].set(row.idx),
+            L=dead.L.at[cursor].set(row.L),
+            logwidth=dead.logwidth.at[cursor].set(row.logwidth),
+            running=dead.running.at[cursor].set(row.running),
+        )
+        return (st, geom, budget, dead, cursor + 1)
+
+    carry = (state, geom0, budget0, dead0, jnp.int32(0))
+    state, _geom, _budget, dead, _cursor = jax.lax.while_loop(cond, body, carry)
     return state, dead
 
 

@@ -60,7 +60,11 @@ def compact_pile(state: EngineState) -> EngineState:
     """
     live_idx = np.asarray(state.live_idx)
     shelf_idx = np.asarray(state.shelves.idx)
-    refs = np.unique(np.concatenate([live_idx.ravel(), shelf_idx[shelf_idx >= 0]]))
+    phantom_idx = np.asarray(state.phantom_idx)
+    refs = np.unique(np.concatenate([
+        live_idx.ravel(), shelf_idx[shelf_idx >= 0],
+        phantom_idx[phantom_idx >= 0],
+    ]))
     n = len(refs)
     P = state.pile_u.shape[0]
     # pad the gather to a bucketed size so repeat compactions reuse one
@@ -174,6 +178,7 @@ def multi_nested_integrator(
     running = np.ones(D, bool)
     reporter = ProgressReporter(enabled=progress, ndata=D)
     chunk_index = 0
+    prev_it = 0
     saved_chunks = 0
     interrupted = False
     resumed_pile_size = None
@@ -199,6 +204,7 @@ def multi_nested_integrator(
                 resumed_growth = int(host["growth_est"])
             meta = ckpt.load_meta(checkpoint_dir)
             chunk_index = int(meta["chunk_index"])
+            prev_it = int(meta["iteration"])
             saved_chunks = chunk_index
             for c in ckpt.load_chunks(checkpoint_dir)[:chunk_index]:
                 dead_u.append(c["u"]); dead_x.append(c["x"])
@@ -287,16 +293,19 @@ def multi_nested_integrator(
         buf = np.asarray(buf)  # blocks until the chunk finishes + transfers
         t_c1 = time.time()
         rep = engine_lib.parse_report(buf, cfg.chunk_iters, D, K)
-        d_run = rep["running"]
-        pending_idx.append(rep["idx"])
-        dead_L.append(rep["L"])
+        it = rep["iteration"]
+        # the chunk's while_loop exits early once every dataset terminates:
+        # only the first (iteration delta) dead-buffer rows were written
+        rows = it - prev_it
+        prev_it = it
+        d_run = rep["running"][:rows]
+        pending_idx.append(rep["idx"][:rows])
+        dead_L.append(rep["L"][:rows])
         dead_w.append(
-            np.where(d_run, rep["logwidth"], -np.inf).astype(np.float32)
+            np.where(d_run, rep["logwidth"][:rows], -np.inf).astype(np.float32)
         )
         dead_mask.append(d_run)
         chunk_index += 1
-
-        it = rep["iteration"]
         final_logZ, final_H = rep["logZ"], rep["H"]
         newly_done = running & ~rep["running_final"]
         running = rep["running_final"].copy()

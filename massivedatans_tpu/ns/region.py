@@ -207,6 +207,8 @@ def build_region(
     prev_radius=None,
     norm: str = "euclidean",
     estimator: str = "bootstrap",
+    extra_u=None,
+    extra_mask=None,
 ) -> Region:
     """Whiten + bootstrap-radius region build (hiermetriclearn.py:48-92).
 
@@ -215,6 +217,12 @@ def build_region(
     (hiermetriclearn.py:88-91). ``norm="chebyshev"`` gives the SupFriends
     union-of-boxes region (friends.py:14-21). ``estimator="jackknife"``
     selects the leave-one-out radius (friends.py jackknife option).
+
+    ``extra_u``/``extra_mask``: phantom points (friends.py:79-84) appended
+    as additional ball centers AFTER the metric is fit and the radius is
+    estimated + force-shrunk from the live members alone — matching the
+    reference's ordering, where phantoms only EXTEND the union's coverage
+    and never inflate the fitted scale or radius.
     """
     metric = fit_metric(members_u, member_mask, metriclearner)
     w = metric.transform(members_u)
@@ -230,6 +238,9 @@ def build_region(
         radius = jnp.where(
             same_metric & (prev_radius > 0.0), jnp.minimum(radius, prev_radius), radius
         )
+    if extra_u is not None:
+        w = jnp.concatenate([w, metric.transform(extra_u)], axis=0)
+        member_mask = jnp.concatenate([member_mask, extra_mask])
     big = jnp.where(member_mask[:, None], w, jnp.nan)
     lo = jnp.nanmin(big, axis=0) - radius
     hi = jnp.nanmax(big, axis=0) + radius

@@ -72,7 +72,8 @@ def make_mlfriends(
     """
     learner = cfg.metriclearner if metriclearner is None else metriclearner
 
-    def build(members_u, member_mask, key, prev_scale, prev_radius):
+    def build(members_u, member_mask, key, prev_scale, prev_radius,
+              extra_u=None, extra_mask=None):
         return region_lib.build_region(
             members_u, member_mask, key,
             nbootstraps=cfg.nbootstraps,
@@ -81,6 +82,8 @@ def make_mlfriends(
             prev_radius=prev_radius if cfg.force_shrink else None,
             norm=norm,
             estimator=cfg.radius_estimator,
+            extra_u=extra_u,
+            extra_mask=extra_mask,
         )
 
     def init_chains(geom, key):
@@ -111,7 +114,10 @@ class EllGeom(NamedTuple):
 
 def make_multiellipsoids(cfg: RunConfig, n_ellipsoids: int = 4,
                          enlarge: float = 3.0) -> Strategy:
-    def build(members_u, member_mask, key, prev_scale, prev_radius):
+    def build(members_u, member_mask, key, prev_scale, prev_radius,
+              extra_u=None, extra_mask=None):
+        # phantom extras are a friends-family feature (friends.py:54-59);
+        # the ellipsoid fit uses live members only, as the reference does
         ells = ell_lib.fit_ellipsoids(
             members_u, member_mask, key,
             n_ellipsoids=n_ellipsoids, enlarge=enlarge,
@@ -194,7 +200,8 @@ def make_slice(cfg: RunConfig, nsteps: int | None = None,
     if direction not in ("iterate", "random", "mahalanobis"):
         raise ValueError(f"unknown slice_direction {direction!r}")
 
-    def build(members_u, member_mask, key, prev_scale, prev_radius):
+    def build(members_u, member_mask, key, prev_scale, prev_radius,
+              extra_u=None, extra_mask=None):
         metric = region_lib.fit_metric(
             members_u, member_mask, cfg.metriclearner
         )
@@ -340,7 +347,8 @@ def make_galilean(cfg: RunConfig, nsteps: int | None = None) -> Strategy:
     grow = jnp.float32(jnp.exp(0.12))    # Sivia-style asymmetric adaptation
     shrink = jnp.float32(jnp.exp(-0.3))  # targets ~70% acceptance
 
-    def build(members_u, member_mask, key, prev_scale, prev_radius):
+    def build(members_u, member_mask, key, prev_scale, prev_radius,
+              extra_u=None, extra_mask=None):
         metric = region_lib.fit_metric(
             members_u, member_mask, cfg.metriclearner
         )

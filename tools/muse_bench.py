@@ -27,11 +27,19 @@ NSPEC = int(os.environ.get("MUSE_BENCH_NSPEC", "3600"))
 NLIVE = int(os.environ.get("NLIVE_POINTS", "400"))
 MAXSAMPLES = int(os.environ.get("MAXSAMPLES", "100000"))
 # Per-dispatch fill-round budget: deep MUSE runs hit fill escalations
-# (decoupled datasets / likelihood phase transitions) that stretch a
-# 50-iteration dispatch past the axon worker's execution watchdog (~60 s;
-# observed killed deterministically at iteration ~2800 of the 100-spaxel
-# run). ~25 ms/round at nspec=3600, D=100 -> 1024 rounds ~ 25 s worst case.
-FILL_BUDGET = int(os.environ.get("MUSE_BENCH_FILL_BUDGET", "1024"))
+# (decoupled datasets / likelihood phase transitions) that would stretch a
+# dispatch past the axon worker's execution watchdog (~60 s). Measured
+# round cost is ~3 ms at nspec=3600, D=100 (chunk wait / rounds, r3 timing
+# log), so 8192 rounds ~ 25 s worst case. The r2 run saturated a 1024
+# budget every dispatch (18 rounds/iter at 1.25% region-sampling
+# efficiency); the column-proposal fallback (engine._column_proposals,
+# cfg.column_focus_fallback_rounds) attacks the efficiency itself and the
+# budget is back to being a safety bound, not the operating point.
+FILL_BUDGET = int(os.environ.get("MUSE_BENCH_FILL_BUDGET", "8192"))
+# NS iterations per dispatch: with fills no longer budget-bound, bigger
+# dispatches amortize the tunnel round trip (seconds-scale) over more work
+CHUNK_ITERS = int(os.environ.get("MUSE_BENCH_CHUNK_ITERS", "400"))
+LOOKAHEAD = int(os.environ.get("MUSE_BENCH_LOOKAHEAD", "2"))
 
 # reference wall-clock anchors (spaxels -> hours), massivens4.lyx:2230
 REF_POINTS = {100: 14.9, 4223: 140.0}
@@ -78,7 +86,9 @@ def main():
         progress=True,
         # TPU workers can crash on hours-long runs; resume instead of redo
         checkpoint_dir=os.path.join(OUT, f"ckpt_{N_SPAXELS}"),
-        cfg_overrides=dict(chunk_fill_budget=FILL_BUDGET),
+        cfg_overrides=dict(chunk_fill_budget=FILL_BUDGET,
+                           chunk_iters=CHUNK_ITERS,
+                           pipeline_lookahead=LOOKAHEAD),
     )
     wall = time.time() - t_first
 
@@ -98,6 +108,12 @@ def main():
             "ref_evals": {100: 2.8e6, 4223: 14.4e6}.get(N_SPAXELS),
         },
     }))
+    # the run completed: remove the start stamp so a later FRESH run at this
+    # N reports its own wall, not time since this run began
+    try:
+        os.remove(stamp)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -82,6 +82,11 @@ def compact_pile(state: EngineState) -> EngineState:
     new_shelf = np.where(
         shelf_idx >= 0, np.searchsorted(refs, np.maximum(shelf_idx, 0)), -1
     ).astype(np.int32)
+    new_phantom = np.where(
+        phantom_idx >= 0,
+        np.searchsorted(refs, np.maximum(phantom_idx, 0)),
+        -1,
+    ).astype(np.int32)
     log.info("pile compaction: %d -> %d (cap %d)", int(state.pile_size), n, P)
     return state._replace(
         pile_u=new_pile_u,
@@ -89,6 +94,7 @@ def compact_pile(state: EngineState) -> EngineState:
         pile_size=jnp.int32(n),
         live_idx=jnp.asarray(new_live),
         shelves=state.shelves._replace(idx=jnp.asarray(new_shelf)),
+        phantom_idx=jnp.asarray(new_phantom),
     )
 
 

@@ -67,6 +67,69 @@ def test_lookahead_matches_synchronous():
     assert sync.ndraws == pipe.ndraws
 
 
+def test_pile_capacity_transport_guard():
+    """Pile capacities at/above 2^24 would break the exact-f32 index
+    transport in chunk_report and must be rejected with sizing guidance
+    (config.resolve_pile_capacity)."""
+    cfg = dataclasses.replace(CFG, pile_capacity=(1 << 24))
+    with pytest.raises(ValueError, match="2\\^24"):
+        cfg.resolve_pile_capacity(100)
+    # the largest bucket under the border is accepted
+    cap = dataclasses.replace(
+        CFG, pile_capacity=(1 << 24) - 1024
+    ).resolve_pile_capacity(100)
+    assert cap == (1 << 24) - 1024
+
+
+def test_pile_capacity_hit_drops_are_contained():
+    """A pile at hard capacity drops accepted candidates on device (engine
+    ``can_store``): the size clamps at capacity, dropped candidates never
+    reach the shelves (no dangling indices), and the sampler keeps
+    advancing — drops waste proposals, they do not corrupt state. Driven at
+    the engine level with tolerance=0 so the chunk runs long enough to
+    fill the smallest legal pile (1024 rows)."""
+    from massivedatans_tpu.ns import engine as engine_lib
+
+    centers, problem = _problem(D=6, seed=24)
+    cfg = dataclasses.replace(
+        CFG, pile_capacity=1024, tolerance=0.0, chunk_iters=900,
+        region_rebuild_every=25,
+    )
+    P = cfg.resolve_pile_capacity(problem.ndata)
+    assert P == 1024
+    mc = cfg.resolve_member_capacity(problem.ndata)
+    st = engine_lib.init_state(problem, jax.random.key(9), cfg)
+    st2, dead = engine_lib.run_chunk(problem, st, cfg, mc, cfg.chunk_iters)
+    assert int(st2.pile_size) == P  # hit and clamped, never exceeded
+    # once no candidate can be stored, shelves stop filling; the stall
+    # force-termination retires every dataset (the reference would spin
+    # forever here) and the chunk's while_loop exits early
+    assert 0 < int(st2.iteration) < cfg.chunk_iters
+    assert not np.asarray(st2.running).any()
+    limit = engine_lib.resolve_stall_limit(cfg)
+    assert np.asarray(st2.stall_count).max() > limit
+    shelf_idx = np.asarray(st2.shelves.idx)
+    live_idx = np.asarray(st2.live_idx)
+    assert shelf_idx.max() < P and live_idx.max() < P
+    assert np.isfinite(np.asarray(st2.live_L)).all()
+    assert np.isfinite(np.asarray(st2.logZ)).all()
+
+
+def test_phantom_compaction_remap():
+    """Phantom pile rows must survive compaction remapping (ADVICE r2 high):
+    a tiny pile with phantom_capacity>0 must reproduce the big-pile run
+    exactly — if phantom_idx were not remapped, region builds diverge after
+    the first compaction."""
+    centers, problem = _problem(D=6, seed=25)
+    base = dataclasses.replace(CFG, phantom_capacity=16)
+    big = _run(dataclasses.replace(base, pile_capacity=1 << 16), problem)
+    small = _run(dataclasses.replace(base, pile_capacity=1024), problem)
+    assert small.stats["pile_peak"] <= 1024
+    np.testing.assert_array_equal(big.L, small.L)
+    np.testing.assert_allclose(big.logZ, small.logZ, rtol=0, atol=1e-6)
+    assert big.ndraws == small.ndraws
+
+
 def test_compaction_under_lookahead_logZ():
     """Compaction + lookahead together (the drain-then-compact path) still
     produce correct evidences and internally-consistent records."""

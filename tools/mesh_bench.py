@@ -59,8 +59,19 @@ def _time_chunks(run, problem, state) -> float:
 
 
 def bench_one(n_dev: int, data) -> dict:
-    cfg = RunConfig(nlive_points=200, chunk_iters=CHUNK, eval_batch=128,
-                    proposal_batch=512, shelf_capacity=8)
+    # MESH_EVAL_BATCH is the vote-amortization lever (VERDICT r2 #6): every
+    # fill round carries a fixed number of mesh collectives (fill vote +
+    # pile vote + chain OR), so candidates-per-vote == eval_batch; raising
+    # it divides the lockstep-rendezvous frequency without a separate
+    # vote-every-k mechanism, at the cost of coarser-grained acceptance
+    # (threshold staleness within a round is bias-free: clean() drops
+    # entries below the current Lmin before every pop).
+    eval_batch = int(os.environ.get("MESH_EVAL_BATCH", "128"))
+    cfg = RunConfig(nlive_points=200, chunk_iters=CHUNK,
+                    eval_batch=eval_batch,
+                    proposal_batch=int(os.environ.get(
+                        "MESH_PROPOSAL_BATCH", str(4 * eval_batch))),
+                    shelf_capacity=8)
     D = PER_DEV * n_dev
     problem = make_gaussline_problem(data["x"], data["y"][:, :D],
                                      data["noise_level"])

@@ -30,10 +30,12 @@ granularity shrinks. A fallback run is marked ``"degraded"``; a total
 failure emits ``"error"`` with value -1.
 """
 
+import contextlib
 import json
 import math
 import os
 import re
+import signal
 import sys
 import time
 import traceback
@@ -65,15 +67,44 @@ def emit(payload):
     sys.stdout.flush()
 
 
+class StageTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def deadline(seconds: int, what: str):
+    """SIGALRM watchdog: a dead TPU tunnel makes jax calls BLOCK forever
+    (observed: 0% CPU for 17+ min), which would break the always-emit-JSON
+    contract — convert the hang into a stage failure instead."""
+    def _raise(signum, frame):
+        raise StageTimeout(f"{what} exceeded {seconds}s (tunnel dead?)")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(max(1, int(seconds)))
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+PROBE_TIMEOUT = int(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
+STAGE_TIMEOUT = int(os.environ.get("BENCH_STAGE_TIMEOUT", "2400"))
+
+
 def measure_rtt(n=5):
     """Median host<->device round trip for a tiny fetch (tunnel latency)."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
+    bump = jax.jit(lambda x: x + 1.0)  # one executable, reused every probe
+    x = jnp.zeros(8)
     ts = []
-    for i in range(n + 1):
+    for _ in range(n + 1):
         t = time.time()
-        np.asarray(jnp.zeros(8) + float(i))
+        x = bump(x)
+        np.asarray(x)
         ts.append(time.time() - t)
     ts = sorted(ts[1:])  # drop the compile-carrying first call
     return ts[len(ts) // 2]
@@ -186,7 +217,10 @@ def bench_workload(data, ndata, rtt_s):
             pipeline_lookahead=LOOKAHEAD,
         )
         try:
-            result, wall, warmup_s, dev_s = run_stage(problem, cfg, warmup=WARMUP)
+            with deadline(STAGE_TIMEOUT, f"stage chunk_iters={chunk}"):
+                result, wall, warmup_s, dev_s = run_stage(
+                    problem, cfg, warmup=WARMUP
+                )
             used_chunk = chunk
             break
         except Exception:
@@ -254,7 +288,8 @@ def main():
         from massivedatans_tpu.datagen.generators import gen_horns
 
         data = gen_horns(N_GEN)
-        rtt_s = measure_rtt()
+        with deadline(PROBE_TIMEOUT, "device probe"):
+            rtt_s = measure_rtt()
     except Exception:
         emit({"metric": "wall-clock horns (setup failed)", "value": -1.0,
               "unit": "s", "vs_baseline": 0.0,

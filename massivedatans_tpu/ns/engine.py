@@ -489,11 +489,16 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
                 (cfg.column_focus_fallback_rounds > 0)
                 & (rnd >= nsuperset_rounds + cfg.column_focus_fallback_rounds)
             )
-            use_cols = (
-                ((state.n_groups > cfg.column_focus_groups) | fallback)
-                & (rnd >= nsuperset_rounds)
+            # group-gated regime alternates region/column rounds; once the
+            # fallback trips (the union region has demonstrably failed for
+            # 12+ rounds) 3 of 4 rounds go to columns — the union rounds
+            # only remain to serve whatever cross-dataset sharing is left
+            grp_cols = (
+                (state.n_groups > cfg.column_focus_groups)
                 & ((rnd - nsuperset_rounds) % 2 == 1)
             )
+            fb_cols = fallback & (((rnd - nsuperset_rounds) % 4) != 0)
+            use_cols = (grp_cols | fb_cols) & (rnd >= nsuperset_rounds)
             empty_now = state.running & (shelves.count == 0)
 
             def prop_cols(k):

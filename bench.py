@@ -153,18 +153,22 @@ def run_stage(problem, cfg, warmup: bool):
     return result, time.time() - t0, warmup_s, dev_s
 
 
-def lookup_baseline(n_gen, ndata, nlive):
-    """(seconds, kind) from baseline_ref.json: measured at this exact config,
-    else a power law through the measured anchors of the same generator."""
+def lookup_baseline(n_gen, ndata, nlive, want_logZ=False):
+    """(seconds, kind[, entry]) from baseline_ref.json: measured at this
+    exact config, else a power law through the measured anchors of the same
+    generator."""
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baseline_ref.json")
     if not os.path.exists(base_path):
-        return None, None
+        return (None, None, None) if want_logZ else (None, None)
     with open(base_path) as fh:
         base = json.load(fh)
     key = f"horns_n{n_gen}_ndata{ndata}_nlive{nlive}"
-    dur = base.get(key, {}).get("duration")
+    entry = base.get(key, {})
+    dur = entry.get("duration")
     if dur:
+        if want_logZ:
+            return float(dur), "measured", entry
         return float(dur), "measured"
     # no measured reference run at this exact ndata: extrapolate a power law
     # duration ~ a * ndata^b through the measured anchors of THIS generator
@@ -178,7 +182,7 @@ def lookup_baseline(n_gen, ndata, nlive):
         if m and v.get("duration"):
             pts.append((int(m.group(1)), float(v["duration"])))
     if len(pts) < 2:
-        return None, None
+        return (None, None, None) if want_logZ else (None, None)
     xs = [math.log(p[0]) for p in pts]
     ys = [math.log(p[1]) for p in pts]
     n = len(pts)
@@ -186,9 +190,10 @@ def lookup_baseline(n_gen, ndata, nlive):
     b = (sum((x - mx) * (y - my) for x, y in zip(xs, ys))
          / max(sum((x - mx) ** 2 for x in xs), 1e-12))
     a = my - b * mx
-    return math.exp(a + b * math.log(ndata)), (
-        f"extrapolated: {len(pts)} anchors, exponent {b:.2f}"
-    )
+    kind = f"extrapolated: {len(pts)} anchors, exponent {b:.2f}"
+    if want_logZ:
+        return math.exp(a + b * math.log(ndata)), kind, None
+    return math.exp(a + b * math.log(ndata)), kind
 
 
 def bench_workload(data, ndata, rtt_s):
@@ -235,7 +240,34 @@ def bench_workload(data, ndata, rtt_s):
                 "extra": {"error": "all stages failed", "stages": errors,
                           "platform": platform}}
 
-    baseline_s, baseline_kind = lookup_baseline(N_GEN, ndata, NLIVE)
+    baseline_s, baseline_kind, base_entry = lookup_baseline(
+        N_GEN, ndata, NLIVE, want_logZ=True
+    )
+
+    # reference-vs-repo evidence cross-check (VERDICT r2 missing #4): when
+    # the measured baseline entry carries per-dataset logZ arrays, report
+    # the agreement of OUR evidences with the reference's at this exact
+    # workload — both runs carry MC error, so the combined sigma is the
+    # quadrature sum plus each side's sqrt(H/nlive) term (already folded
+    # into logZerr here and in the harness)
+    logZ_check = None
+    if base_entry and base_entry.get("logZ"):
+        import numpy as _np
+
+        ref_lz = _np.asarray(base_entry["logZ"], float)
+        ref_err = _np.asarray(
+            base_entry.get("logZerr", _np.zeros_like(ref_lz)), float
+        )
+        n_common = min(len(ref_lz), ndata)
+        our_lz = _np.asarray(result.logZ[:n_common], float)
+        our_err = _np.asarray(result.logZerr[:n_common], float)
+        sig = _np.sqrt(ref_err[:n_common] ** 2 + our_err ** 2) + 1e-9
+        dz = _np.abs(our_lz - ref_lz[:n_common])
+        logZ_check = {
+            "n": int(n_common),
+            "median_abs_dlogZ": round(float(_np.median(dz)), 3),
+            "frac_within_3sigma": round(float((dz < 3 * sig).mean()), 3),
+        }
 
     # Achieved model-evaluation FLOP rate: every evaluated candidate row is
     # one [nx] . [nx, D] chi^2 contraction (2*nx*D FLOPs) plus the model
@@ -271,6 +303,7 @@ def bench_workload(data, ndata, rtt_s):
             "mfu_vs_v5e_bf16_peak": round(flops / rate_t / V5E_PEAK_BF16, 8),
             "baseline": baseline_kind,
             "baseline_s": baseline_s,
+            "logZ_vs_reference": logZ_check,
         },
     }
     if used_chunk != CHUNK_STAGES[0]:

@@ -263,10 +263,39 @@ def bench_workload(data, ndata, rtt_s):
         our_err = _np.asarray(result.logZerr[:n_common], float)
         sig = _np.sqrt(ref_err[:n_common] ** 2 + our_err ** 2) + 1e-9
         dz = _np.abs(our_lz - ref_lz[:n_common])
+        # Sorted-multiset agreement alongside per-index: the reference's
+        # recorded runs at ndata>=100 misassign evidences across datasets
+        # after cut_down events (its per-index values fail a brute-force
+        # quadrature oracle that OUR per-index values pass — see
+        # tests/test_quadrature_oracle.py), so index-wise disagreement
+        # with the reference is evidence of the reference's defect, not
+        # ours. The sorted comparison still validates the full evidence
+        # population against the reference run.
+        dz_sorted = _np.abs(_np.sort(our_lz) - _np.sort(ref_lz[:n_common]))
         logZ_check = {
             "n": int(n_common),
             "median_abs_dlogZ": round(float(_np.median(dz)), 3),
             "frac_within_3sigma": round(float((dz < 3 * sig).mean()), 3),
+            "median_abs_dlogZ_sorted": round(float(_np.median(dz_sorted)), 3),
+            "frac_within_3sigma_sorted": round(
+                float((dz_sorted < 3 * sig).mean()), 3),
+        }
+
+    # Absolute evidence oracle, independent of the reference: midpoint-rule
+    # quadrature of Z_d over the 3-cube for the first 8 horns datasets
+    # (N_GEN=1000 stream; grid 160x3000x160; regenerate with
+    # tests/test_quadrature_oracle.py:quadrature_logZ). Expected agreement:
+    # |dlogZ| ~ logZerr (~0.45 at nlive=400).
+    quad_check = None
+    if N_GEN == 1000 and ndata >= 8:
+        import numpy as _np
+
+        quad_lz = _np.array([-114.289, -115.264, -112.111, -119.772,
+                             -106.861, -110.284, -96.259, -112.13])
+        dq = _np.abs(_np.asarray(result.logZ[:8], float) - quad_lz)
+        quad_check = {
+            "median_abs_dlogZ": round(float(_np.median(dq)), 3),
+            "max_abs_dlogZ": round(float(dq.max()), 3),
         }
 
     # Achieved model-evaluation FLOP rate: every evaluated candidate row is
@@ -304,6 +333,7 @@ def bench_workload(data, ndata, rtt_s):
             "baseline": baseline_kind,
             "baseline_s": baseline_s,
             "logZ_vs_reference": logZ_check,
+            "logZ_vs_quadrature": quad_check,
         },
     }
     if used_chunk != CHUNK_STAGES[0]:

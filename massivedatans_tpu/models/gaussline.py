@@ -11,6 +11,16 @@ once, then score against all D spectra via
 
 so the D-fan-out — the entire point of collaborative nested sampling — is a
 single ``[B, nx] @ [nx, D]`` matmul on the MXU.
+
+Precision note (why there is no bf16 fast path): nested sampling orders
+candidates by logL, so chi^2 needs absolute accuracy ~0.1 on a magnitude
+of ~2*nx (hundreds) — a relative accuracy of ~5e-4, i.e. >= 11 mantissa
+bits on the matmul *inputs*. bf16's 8-bit mantissa rounds y/ypred at 0.4%,
+which propagates to O(10-100) logL errors through the 1/noise^2 = 1e4
+amplification; f32 accumulation cannot repair input rounding. The matmul
+therefore stays f32 with ``Precision.HIGHEST`` — on the MXU this is still
+the right layout (f32 runs at ~1/4 the bf16 peak, far above what this
+latency-bound workload needs).
 """
 
 from __future__ import annotations

@@ -105,7 +105,8 @@ def run_musefit(cube_path: str, region_path: str, zlo: float, zhi: float,
                 cfg_overrides: dict | None = None, progress: bool = True,
                 checkpoint_dir: str | None = None, mesh=None,
                 ages_file: str | None = None,
-                max_chunks: int | None = None):
+                max_chunks: int | None = None,
+                checkpoint_every: int = 10):
     """Reference musefuse.py main flow; returns (result, problem, cube)."""
     from massivedatans_tpu.config import RunConfig
     from massivedatans_tpu.muse.likelihood import make_muse_problem
@@ -125,7 +126,8 @@ def run_musefit(cube_path: str, region_path: str, zlo: float, zhi: float,
     result = multi_nested_integrator(problem, cfg, progress=progress,
                                      mesh=mesh,
                                      checkpoint_dir=checkpoint_dir,
-                                     max_chunks=max_chunks)
+                                     max_chunks=max_chunks,
+                                     checkpoint_every=checkpoint_every)
 
     if out_prefix is None:
         suffix = "_zsol_" if model == "ZSOL" else "_full_"

@@ -40,6 +40,11 @@ FILL_BUDGET = int(os.environ.get("MUSE_BENCH_FILL_BUDGET", "8192"))
 # dispatches amortize the tunnel round trip (seconds-scale) over more work
 CHUNK_ITERS = int(os.environ.get("MUSE_BENCH_CHUNK_ITERS", "400"))
 LOOKAHEAD = int(os.environ.get("MUSE_BENCH_LOOKAHEAD", "2"))
+# Checkpoint cadence in chunks. The axon worker can die every ~2-5 min
+# (observed r3: deterministic "kernel fault" crashes ~3 chunks after each
+# resume); the cadence must be shorter than the crash interval or the
+# retry loop makes no forward progress.
+CKPT_EVERY = int(os.environ.get("MUSE_BENCH_CKPT_EVERY", "2"))
 
 # reference wall-clock anchors (spaxels -> hours), massivens4.lyx:2230
 REF_POINTS = {100: 14.9, 4223: 140.0}
@@ -86,6 +91,7 @@ def main():
         progress=True,
         # TPU workers can crash on hours-long runs; resume instead of redo
         checkpoint_dir=os.path.join(OUT, f"ckpt_{N_SPAXELS}"),
+        checkpoint_every=CKPT_EVERY,
         cfg_overrides=dict(chunk_fill_budget=FILL_BUDGET,
                            chunk_iters=CHUNK_ITERS,
                            pipeline_lookahead=LOOKAHEAD),

@@ -33,6 +33,7 @@ def main():
     region_path = os.path.join(OUT, f"sel_{N_SPAXELS}.reg")
     tpl_dir = os.path.join(OUT, "templates")
     from massivedatans_tpu.muse import synth
+    os.makedirs(OUT, exist_ok=True)
     if not (os.path.exists(cube_path) and os.path.exists(region_path)):
         synth.make_synthetic_cube(cube_path, region_path, nspec=3600,
                                   ny=side, nx=side, seed=1)

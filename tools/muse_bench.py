@@ -45,6 +45,14 @@ LOOKAHEAD = int(os.environ.get("MUSE_BENCH_LOOKAHEAD", "2"))
 # resume); the cadence must be shorter than the crash interval or the
 # retry loop makes no forward progress.
 CKPT_EVERY = int(os.environ.get("MUSE_BENCH_CKPT_EVERY", "2"))
+# Candidates scored per fill round. Fill rounds per iteration escalate
+# late in MUSE runs (~10 -> ~70+ rounds/50 iters across the continuum
+# phase transition, r3 timing log); rounds are candidate-count driven, so
+# a wider batch cuts rounds proportionally at near-constant total evals.
+# CAUTION: eval_batch=512 reproducibly crashes the axon TPU worker on the
+# first MUSE chunk ("kernel fault", r3) — 128 is the proven setting on
+# this worker; bisect upward only with a short max_chunks diag first.
+EVAL_BATCH = int(os.environ.get("MUSE_BENCH_EVAL_BATCH", "128"))
 
 # reference wall-clock anchors (spaxels -> hours), massivens4.lyx:2230
 REF_POINTS = {100: 14.9, 4223: 140.0}
@@ -94,7 +102,8 @@ def main():
         checkpoint_every=CKPT_EVERY,
         cfg_overrides=dict(chunk_fill_budget=FILL_BUDGET,
                            chunk_iters=CHUNK_ITERS,
-                           pipeline_lookahead=LOOKAHEAD),
+                           pipeline_lookahead=LOOKAHEAD,
+                           eval_batch=EVAL_BATCH),
     )
     wall = time.time() - t_first
 

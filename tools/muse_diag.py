@@ -47,8 +47,13 @@ def main():
         out_prefix=os.path.join(OUT, f"muse_{N_SPAXELS}"),
         progress=True,
         checkpoint_dir=os.path.join(OUT, f"ckpt_{N_SPAXELS}"),
-        cfg_overrides=dict(chunk_iters=CHUNK, pipeline_lookahead=0),
+        cfg_overrides=dict(chunk_iters=CHUNK, pipeline_lookahead=0,
+                           chunk_fill_budget=int(os.environ.get(
+                               "MUSE_BENCH_FILL_BUDGET", "8192")),
+                           eval_batch=int(os.environ.get(
+                               "MUSE_BENCH_EVAL_BATCH", "128"))),
         max_chunks=(MAXC or None),
+        checkpoint_every=int(os.environ.get("MUSE_BENCH_CKPT_EVERY", "2")),
     )
     wall = time.time() - t0
     print(json.dumps({"diag": True, "wall_s": round(wall, 1),

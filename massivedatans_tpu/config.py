@@ -102,6 +102,17 @@ class RunConfig:
                                      # union-region sampling efficiency has
                                      # collapsed (observed: 1.25% valid at
                                      # MUSE iteration 22k). 0 disables.
+    column_proposal_batch: int = 0   # raw column-proposal pool compacted to
+                                     # eval_batch valid candidates before the
+                                     # likelihood matmul; 0 = proposal_batch.
+                                     # Proposals + membership tests cost ~us
+                                     # next to a wide likelihood round, so in
+                                     # low-acceptance regimes (late MUSE) a
+                                     # 8-32x pool keeps matmul occupancy ~100%
+    column_slots: int = 128          # distinct candidate columns per round:
+                                     # per-column radius/bounds are computed
+                                     # once per slot (bounds the K x K x slots
+                                     # jackknife pass independently of D)
 
     def __post_init__(self):
         if self.phantom_capacity > 0 and not self.force_shrink:

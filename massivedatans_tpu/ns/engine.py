@@ -291,8 +291,8 @@ def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
     )
 
 
-def _column_proposals(pile_u, live_idx, empty, metric, radius, key, B: int,
-                      norm: str = "euclidean"):
+def _column_proposals(pile_u, live_idx, empty, key, B: int,
+                      norm: str = "euclidean", n_slots: int = 128):
     """Candidates drawn directly from empty-shelf datasets' own RadFriends
     regions (per-column union of balls around that dataset's live points).
 
@@ -314,58 +314,87 @@ def _column_proposals(pile_u, live_idx, empty, metric, radius, key, B: int,
     contains ~all K members, and ball-only sampling would thin acceptance
     to ~1/K (~0.25% at nlive=400) — the box path accepts at the
     union-to-box volume ratio, which is O(1) for a tight cluster.
+
+    Slot structure: per-column geometry (jackknife radius, whitened bounds)
+    is computed once for ``n_slots`` sampled empty columns, and the B raw
+    candidates fan out over those slots. This bounds the O(K²·slots)
+    jackknife pass independently of both B and D, so B can be 8-32×
+    eval_batch (the caller compacts valid candidates to the front of the
+    likelihood batch) without growing the K×K work or materializing
+    [K, K, B] distance tensors.
+
+    Per-slot whitening (NOT the caller's union metric): the reference fits
+    a fresh metric on each member subset before building its region
+    (hiermetriclearn.py:48-92 via cachedconstrainer); a union metric fitted
+    across decoupled datasets is anisotropic relative to any single
+    column's cluster (tight posterior dims look wide), so an isotropic
+    ball/box in union coordinates over-covers each tight dim by the
+    scale ratio — measured 1e-5 net acceptance on MUSE at iteration 5400
+    vs ~1e-1 with per-column scaling (tools/muse_forensic.py).
     """
     K, D = live_idx.shape
     ndim = pile_u.shape[1]
-    kd, kk, kball, kcoin, kbox = jax.random.split(key, 5)
+    C = max(1, min(n_slots, D))
+    kd, kslot, kk, kball, kcoin, kbox = jax.random.split(key, 6)
     logits = jnp.where(empty, 0.0, -1e30)
-    cols = jax.random.categorical(kd, logits, shape=(B,))
-    mem_w = metric.transform(pile_u[live_idx[:, cols]])   # [K, B, ndim]
+    slot_cols = jax.random.categorical(kd, logits, shape=(C,))  # [C]
+    U_slot = pile_u[live_idx[:, slot_cols]]               # [K, C, ndim]
+    mean_c = jnp.mean(U_slot, axis=0)                     # [C, ndim]
+    scale_c = jnp.std(U_slot, axis=0) + 1e-12             # [C, ndim]
+    W = (U_slot - mean_c[None]) / scale_c[None]           # [K, C, ndim]
 
-    if norm == "euclidean":
-        # Per-column jackknife radius (the friends.py leave-one-out
-        # estimator, per dataset): the caller's union-region radius is fit
-        # on a — possibly overflow-subsampled — union of separated
-        # clusters, so it can exceed one column's own live-point scale by
-        # orders of magnitude, inflating the box volume by (2r/cluster)^d
-        # and collapsing acceptance. One batched MXU pass over the sampled
-        # columns' own points gives each column a cover radius at its own
-        # scale.
+    # Per-column jackknife radius (the friends.py leave-one-out estimator,
+    # per dataset) in the slot's own whitened frame: the caller's
+    # union-region radius is fit on a — possibly overflow-subsampled —
+    # union of separated clusters, so it can exceed one column's own
+    # live-point scale by orders of magnitude, inflating the box volume by
+    # (2r/cluster)^d and collapsing acceptance. One batched MXU pass over
+    # the sampled columns' own points gives each column a cover radius at
+    # its own scale.
+    if norm == "chebyshev":
+        d2_col = jnp.zeros((K, K, C), W.dtype)
+        for dim in range(ndim):  # static, tiny; avoids a [K,K,C,ndim] temp
+            diff = W[:, None, :, dim] - W[None, :, :, dim]
+            d2_col = jnp.maximum(d2_col, jnp.square(diff))
+    else:
         cross = jnp.einsum(
-            "kbd,lbd->klb", mem_w, mem_w,
+            "kcd,lcd->klc", W, W,
             precision=jax.lax.Precision.HIGHEST,
         )
-        ss = jnp.sum(jnp.square(mem_w), axis=-1)          # [K, B]
+        ss = jnp.sum(jnp.square(W), axis=-1)              # [K, C]
         d2_col = jnp.maximum(
             ss[:, None, :] + ss[None, :, :] - 2.0 * cross, 0.0
-        )                                                 # [K, K, B]
-        d2_col = d2_col + (1e30 * jnp.eye(K))[:, :, None]
-        nn = jnp.min(d2_col, axis=1)                      # [K, B]
-        radius = jnp.sqrt(jnp.maximum(jnp.max(nn, axis=0), 1e-24))  # [B]
-    else:
-        radius = jnp.broadcast_to(radius, (B,))
+        )                                                 # [K, K, C]
+    d2_col = d2_col + (1e30 * jnp.eye(K))[:, :, None]
+    nn = jnp.min(d2_col, axis=1)                          # [K, C]
+    radius_c = jnp.sqrt(jnp.maximum(jnp.max(nn, axis=0), 1e-24))  # [C]
+
+    lo_c = jnp.min(W, axis=0) - radius_c[:, None]         # [C, ndim]
+    hi_c = jnp.max(W, axis=0) + radius_c[:, None]
+
+    slot = jax.random.randint(kslot, (B,), 0, C)          # candidate -> slot
+    rad = radius_c[slot]                                  # [B]
 
     # box half: uniform in the column's whitened bounding box (+r)
-    lo = jnp.min(mem_w, axis=0) - radius[:, None]         # [B, ndim]
-    hi = jnp.max(mem_w, axis=0) + radius[:, None]
-    w_box = lo + (hi - lo) * jax.random.uniform(kbox, (B, ndim))
+    w_box = lo_c[slot] + (hi_c - lo_c)[slot] * jax.random.uniform(
+        kbox, (B, ndim)
+    )
 
     # ball half: around a random member of the column
     rows = jax.random.randint(kk, (B,), 0, K)
-    c_w = jnp.take_along_axis(
-        mem_w, rows[None, :, None], axis=0
-    )[0]                                                  # [B, ndim]
-    w_ball = c_w + ball_offsets(kball, B, ndim, radius[:, None], norm=norm)
+    c_w = W[rows, slot]                                   # [B, ndim]
+    w_ball = c_w + ball_offsets(kball, B, ndim, rad[:, None], norm=norm)
 
     use_box = jnp.arange(B) < (B // 2)
     w = jnp.where(use_box[:, None], w_box, w_ball)
-    u = metric.untransform(w)
+    u = w * scale_c[slot] + mean_c[slot]                  # per-slot unwhiten
+    mem_w = W[:, slot, :]                                 # [K, B, ndim]
     sq = jnp.square(mem_w - w[None, :, :])
     if norm == "chebyshev":
         d2 = jnp.max(sq, axis=-1)  # [K, B]
     else:
         d2 = jnp.sum(sq, axis=-1)  # [K, B]
-    nnear = (d2 < jnp.square(radius)).sum(axis=0)
+    nnear = (d2 < jnp.square(rad)).sum(axis=0)
     # box candidates: uniform-over-box ∩ union -> uniform over the union;
     # ball candidates: 1/n_near correction (n_near >= 1 by construction)
     ok_box = nnear > 0
@@ -374,6 +403,7 @@ def _column_proposals(pile_u, live_idx, empty, metric, radius, key, B: int,
     ).astype(jnp.float32) < 1.0
     ok = jnp.where(use_box, ok_box, ok_ball)
     in_cube = jnp.all((u > 0.0) & (u < 1.0), axis=1)
+    cols = slot_cols[slot]
     return u, ok & in_cube & jnp.any(empty), cols.astype(jnp.int32)
 
 
@@ -502,11 +532,20 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
             empty_now = state.running & (shelves.count == 0)
 
             def prop_cols(k):
+                # oversampled raw pool compacted to the front of the
+                # likelihood batch: proposals + membership tests are ~us
+                # next to the [B, nx, D] likelihood contraction, so matmul
+                # occupancy stays ~100% even at ~1% per-proposal validity
+                # (late-run explosion regime)
+                B_raw = max(cfg.column_proposal_batch or cfg.proposal_batch,
+                            cfg.eval_batch)
                 u, ok, cols = _column_proposals(
-                    pile_u, state.live_idx, empty_now, geom2.metric,
-                    geom2.radius, k, cfg.eval_batch, norm=strategy.norm,
+                    pile_u, state.live_idx, empty_now, k, B_raw,
+                    norm=strategy.norm, n_slots=cfg.column_slots,
                 )
-                return u, ok, cols, sstate
+                order = jnp.argsort(~ok)
+                take = order[:cfg.eval_batch]
+                return u[take], ok[take], cols[take], sstate
 
             def prop_region(k):
                 u, ok, st = strategy.propose(geom2, sstate, k)

@@ -53,6 +53,12 @@ CKPT_EVERY = int(os.environ.get("MUSE_BENCH_CKPT_EVERY", "2"))
 # first MUSE chunk ("kernel fault", r3) — 128 is the proven setting on
 # this worker; bisect upward only with a short max_chunks diag first.
 EVAL_BATCH = int(os.environ.get("MUSE_BENCH_EVAL_BATCH", "128"))
+# Raw proposal pool per round (region rounds and column rounds): only the
+# first eval_batch VALID candidates reach the likelihood matmul, so a big
+# pool keeps matmul occupancy ~100% when per-proposal validity collapses
+# to ~1-2% (late-run explosion regime; proposals + membership tests are
+# ~us next to the [B, nspec, D] contraction).
+PROPOSAL_BATCH = int(os.environ.get("MUSE_BENCH_PROPOSAL_BATCH", "8192"))
 
 # reference wall-clock anchors (spaxels -> hours), massivens4.lyx:2230
 REF_POINTS = {100: 14.9, 4223: 140.0}
@@ -103,7 +109,9 @@ def main():
         cfg_overrides=dict(chunk_fill_budget=FILL_BUDGET,
                            chunk_iters=CHUNK_ITERS,
                            pipeline_lookahead=LOOKAHEAD,
-                           eval_batch=EVAL_BATCH),
+                           eval_batch=EVAL_BATCH,
+                           proposal_batch=PROPOSAL_BATCH,
+                           column_proposal_batch=PROPOSAL_BATCH),
     )
     wall = time.time() - t_first
 

@@ -51,7 +51,11 @@ def main():
                            chunk_fill_budget=int(os.environ.get(
                                "MUSE_BENCH_FILL_BUDGET", "8192")),
                            eval_batch=int(os.environ.get(
-                               "MUSE_BENCH_EVAL_BATCH", "128"))),
+                               "MUSE_BENCH_EVAL_BATCH", "128")),
+                           proposal_batch=int(os.environ.get(
+                               "MUSE_BENCH_PROPOSAL_BATCH", "8192")),
+                           column_proposal_batch=int(os.environ.get(
+                               "MUSE_BENCH_PROPOSAL_BATCH", "8192"))),
         max_chunks=(MAXC or None),
         checkpoint_every=int(os.environ.get("MUSE_BENCH_CKPT_EVERY", "2")),
     )

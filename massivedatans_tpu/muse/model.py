@@ -236,16 +236,60 @@ def predict_spectrum(md: MuseModelData, Z, logSFtau, sfage, z, EBV):
     return template[i0] * (1.0 - frac) + template[i0 + 1] * frac
 
 
-def predict_batch(md: MuseModelData, x_batch, zsol: bool = False):
-    """[B, nspec] model spectra for a parameter batch."""
-    if zsol:
-        def one(p):
-            # fixed Z = 0.004 (Patricio2018; musefuse.py:540-543)
-            return predict_spectrum(
-                md, jnp.float32(np.log10(0.004)), p[0], p[1], p[2], p[3]
-            )
-    else:
-        def one(p):
-            return predict_spectrum(md, p[0], p[1], p[2], p[3], p[4])
+def _sfh_weights(md: MuseModelData, logSFtau, sfage):
+    """[B, n_ages] delayed-exponential SFH weights (musefuse.py:237-251),
+    max-normalized per candidate; the trailing age column is dropped by the
+    synthesis contraction (predict_spectrum's ``[:-1]``)."""
+    SFtau = 10.0 ** logSFtau                              # [B]
+    tsince = jnp.maximum(sfage[:, None] * 1e9 - md.ages[None, :], 0.0)
+    log_sfh = jnp.where(
+        tsince > 0.0, jnp.log(jnp.maximum(tsince, 1e-30)), -jnp.inf
+    ) - tsince / SFtau[:, None]
+    sfh = jnp.exp(log_sfh - jnp.max(log_sfh, axis=1, keepdims=True))
+    return jnp.where(jnp.isfinite(sfh), sfh, 0.0)
 
-    return jax.vmap(one)(x_batch)
+
+def predict_batch(md: MuseModelData, x_batch, zsol: bool = False):
+    """[B, nspec] model spectra for a parameter batch.
+
+    Batch-first synthesis: the metallicity selection is a one-hot
+    contraction ``(ba,zaw->bzw) x (bz->bw)`` rather than a per-candidate
+    ``templates[iZ]`` gather — the gather materializes a
+    [B, n_ages, n_wl] block (~0.5 GB at B=512 on the 2× uniform grid),
+    which exhausted TPU HBM inside the fill-loop graph; the einsum keeps
+    the peak at [B, nZ, n_wl] and runs on the MXU."""
+    if zsol:
+        # fixed Z = 0.004 (Patricio2018; musefuse.py:540-543)
+        Zp = jnp.full((x_batch.shape[0],), np.log10(0.004), jnp.float32)
+        logSFtau, sfage, z, EBV = (x_batch[:, 0], x_batch[:, 1],
+                                   x_batch[:, 2], x_batch[:, 3])
+    else:
+        Zp, logSFtau, sfage, z, EBV = (x_batch[:, 0], x_batch[:, 1],
+                                       x_batch[:, 2], x_batch[:, 3],
+                                       x_batch[:, 4])
+    nZ = md.z_grid.shape[0]
+    iZ = jnp.clip(
+        jnp.searchsorted(md.z_grid, Zp, side="right") - 1, 0, nZ - 1
+    )
+    zhot = jax.nn.one_hot(iZ, nZ, dtype=jnp.float32)      # [B, nZ]
+    w = _sfh_weights(md, logSFtau, sfage)[:, :-1] * md.age_weight[None, :]
+    per_z = jnp.einsum(
+        "ba,zaw->bzw", w, md.templates[:, :-1, :],
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                                     # [B, nZ, n_wl]
+    template = jnp.einsum("bzw,bz->bw", per_z, zhot,
+                          preferred_element_type=jnp.float32)
+    template = template / (1e-10 + template[:, md.norm_index][:, None])
+    template = template * 10.0 ** (-2.5 * md.calzetti[None, :]
+                                   * EBV[:, None])
+    q = md.data_wl[None, :] / (1.0 + z)[:, None]          # [B, nspec]
+    n = md.model_wl.shape[0]
+    wl0 = md.model_wl[0]
+    dwl = (md.model_wl[n - 1] - wl0) / (n - 1)
+    pos = jnp.clip((q - wl0) / dwl, 0.0, n - 1.0)
+    i0 = jnp.minimum(pos.astype(jnp.int32), n - 2)
+    frac = pos - i0.astype(pos.dtype)
+    t0 = jnp.take_along_axis(template, i0, axis=1)
+    t1 = jnp.take_along_axis(template, i0 + 1, axis=1)
+    return t0 * (1.0 - frac) + t1 * frac

@@ -335,9 +335,14 @@ def _column_proposals(pile_u, live_idx, empty, key, B: int,
     K, D = live_idx.shape
     ndim = pile_u.shape[1]
     C = max(1, min(n_slots, D))
-    kd, kslot, kk, kball, kcoin, kbox = jax.random.split(key, 6)
-    logits = jnp.where(empty, 0.0, -1e30)
-    slot_cols = jax.random.categorical(kd, logits, shape=(C,))  # [C]
+    kd, kslot, kslotb, kk, kball, kcoin, kbox = jax.random.split(key, 7)
+    # deterministic slot assignment: the first C empty columns (argsort is
+    # stable), padded with non-empty columns when fewer are empty (their
+    # unions just join the proposal mixture — harmless). When every empty
+    # column is a slot (D <= n_slots, the common case), the ball mixture
+    # is the full joint union over all unfilled datasets — the reference's
+    # memberset union with per-column metrics.
+    slot_cols = jnp.argsort(~empty)[:C]                   # [C]
     U_slot = pile_u[live_idx[:, slot_cols]]               # [K, C, ndim]
     mean_c = jnp.mean(U_slot, axis=0)                     # [C, ndim]
     scale_c = jnp.std(U_slot, axis=0) + 1e-12             # [C, ndim]
@@ -372,7 +377,25 @@ def _column_proposals(pile_u, live_idx, empty, key, B: int,
     lo_c = jnp.min(W, axis=0) - radius_c[:, None]         # [C, ndim]
     hi_c = jnp.max(W, axis=0) + radius_c[:, None]
 
-    slot = jax.random.randint(kslot, (B,), 0, C)          # candidate -> slot
+    # Slot choice restricted to slots whose column is STILL empty: slots
+    # are assigned deterministically (argsort pads with non-empty columns
+    # when few are empty), and candidates sent to already-full columns
+    # are pure waste in the tail regime where only a handful of hard
+    # columns keep the fill loop alive.
+    #
+    # Design note — candidates are corrected per-slot (own n_near) and
+    # credit ONLY their source column, i.e. per-column RadFriends draws
+    # batched across columns, the reference's per-subset constrained draw
+    # (cachedconstrainer.py:92-109). Joint-uniform sampling over the
+    # union of all slot unions (volume-weighted mixture + global n_near)
+    # was tried and measured: the columns' unions overlap ~10^2-10^4-fold
+    # in volume while their likelihood zones are disjoint islands, so the
+    # global correction thinned ball validity to ~1e-4 (0 valid of 4096
+    # at MUSE it=7800) — cross-dataset sharing is worthless exactly where
+    # these rounds run, and single-credit keeps validity at the
+    # per-column ~10-20%.
+    slot_logits = jnp.where(empty[slot_cols], 0.0, -1e30)  # [C]
+    slot = jax.random.categorical(kslot, slot_logits, shape=(B,))
     rad = radius_c[slot]                                  # [B]
 
     # box half: uniform in the column's whitened bounding box (+r)
@@ -388,6 +411,7 @@ def _column_proposals(pile_u, live_idx, empty, key, B: int,
     use_box = jnp.arange(B) < (B // 2)
     w = jnp.where(use_box[:, None], w_box, w_ball)
     u = w * scale_c[slot] + mean_c[slot]                  # per-slot unwhiten
+
     mem_w = W[:, slot, :]                                 # [K, B, ndim]
     sq = jnp.square(mem_w - w[None, :, :])
     if norm == "chebyshev":
@@ -567,10 +591,10 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
         above = state.running[None, :] & (L > thresh[None, :])
         acc = valid[:, None] & space[None, :] & above
         # column-round candidates only fill their source column: their
-        # density is uniform on that column's ball union (1/n_near corrected
-        # there), so cross-column acceptance would oversample overlap zones.
-        # In the decoupled regime where these rounds activate, cross-column
-        # sharing is ~zero anyway.
+        # density is uniform on that column's ball union (1/n_near
+        # corrected there), so cross-column acceptance would bias. The
+        # measured overlap structure (see _column_proposals design note)
+        # makes cross-column sharing worthless in this regime anyway.
         acc = acc & (
             (src_col[:, None] < 0)
             | (src_col[:, None] == jnp.arange(L.shape[1])[None, :])

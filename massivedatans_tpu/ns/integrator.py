@@ -425,11 +425,18 @@ def multi_nested_integrator(
             # the time blocked on this chunk's packed report (residual device
             # time + transfer), `host` the stream/checkpoint/compact work,
             # `groups` the advisory decomposition
+            # `adv`: dataset-advances this chunk vs the ideal
+            # rows x running — the gap is ledger-skipped iterations
+            # (fills truncated by the round budget), the real progress
+            # rate when fills escalate
+            n_adv = int((np.asarray(rep["idx"][:rows]) >= 0).sum())
             print(
                 "chunk %d: wait=%.0fms host=%.0fms groups=%.0fms rounds=%d"
+                " adv=%d/%d"
                 % (chunk_index, 1e3 * (t_c1 - t_c0),
                    1e3 * (t_c2 - t_c1), 1e3 * (time.time() - t_c2),
-                   rep.get("fill_rounds", 0) - debug_prev_rounds),
+                   rep.get("fill_rounds", 0) - debug_prev_rounds,
+                   n_adv, rows * max(int(running.sum()), 1)),
                 file=sys.stderr, flush=True,
             )
             debug_prev_rounds = rep.get("fill_rounds", 0)

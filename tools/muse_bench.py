@@ -111,7 +111,13 @@ def main():
                            pipeline_lookahead=LOOKAHEAD,
                            eval_batch=EVAL_BATCH,
                            proposal_batch=PROPOSAL_BATCH,
-                           column_proposal_batch=PROPOSAL_BATCH),
+                           column_proposal_batch=PROPOSAL_BATCH,
+                           # the per-iteration round counter resets each
+                           # fill, so a high threshold re-pays the wasted
+                           # union-region rounds every iteration once the
+                           # run is deep in the decoupled regime
+                           column_focus_fallback_rounds=int(os.environ.get(
+                               "MUSE_BENCH_FALLBACK_ROUNDS", "2"))),
     )
     wall = time.time() - t_first
 

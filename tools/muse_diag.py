@@ -54,6 +54,8 @@ def main():
                                "MUSE_BENCH_EVAL_BATCH", "128")),
                            proposal_batch=int(os.environ.get(
                                "MUSE_BENCH_PROPOSAL_BATCH", "8192")),
+                           column_focus_fallback_rounds=int(os.environ.get(
+                               "MUSE_BENCH_FALLBACK_ROUNDS", "2")),
                            column_proposal_batch=int(os.environ.get(
                                "MUSE_BENCH_PROPOSAL_BATCH", "8192"))),
         max_chunks=(MAXC or None),

@@ -271,14 +271,23 @@ def bench_workload(data, ndata, rtt_s):
         # with the reference is evidence of the reference's defect, not
         # ours. The sorted comparison still validates the full evidence
         # population against the reference run.
-        dz_sorted = _np.abs(_np.sort(our_lz) - _np.sort(ref_lz[:n_common]))
+        # sort the (logZ, logZerr) PAIRS together so each sorted residual is
+        # compared against the error bars of the two runs actually being
+        # paired at that rank (ADVICE r3: reusing the per-index sig here
+        # mixed mismatched uncertainties)
+        our_ord = _np.argsort(our_lz)
+        ref_ord = _np.argsort(ref_lz[:n_common])
+        dz_sorted = _np.abs(our_lz[our_ord] - ref_lz[:n_common][ref_ord])
+        sig_sorted = _np.sqrt(
+            ref_err[:n_common][ref_ord] ** 2 + our_err[our_ord] ** 2
+        ) + 1e-9
         logZ_check = {
             "n": int(n_common),
             "median_abs_dlogZ": round(float(_np.median(dz)), 3),
             "frac_within_3sigma": round(float((dz < 3 * sig).mean()), 3),
             "median_abs_dlogZ_sorted": round(float(_np.median(dz_sorted)), 3),
             "frac_within_3sigma_sorted": round(
-                float((dz_sorted < 3 * sig).mean()), 3),
+                float((dz_sorted < 3 * sig_sorted).mean()), 3),
         }
 
     # Absolute evidence oracle, independent of the reference: midpoint-rule

@@ -135,6 +135,20 @@ def load_template_grid(filenames, ages=None, data_wl_nm=None,
             for g in templates
         ])
         model_wl = wl_u
+    else:
+        # predict_spectrum/predict_batch index the model grid arithmetically
+        # (pos = (q - wl0)/dwl) — only valid on a uniform grid. The native
+        # BC03 grid is NOT uniform, so skipping the resample must fail
+        # loudly rather than silently corrupt every interpolated spectrum.
+        dwl = np.diff(model_wl)
+        if not np.allclose(dwl, dwl[0], rtol=1e-4):
+            raise ValueError(
+                "uniform_oversample=0 requires an already-uniform template "
+                f"wavelength grid (spacing varies {dwl.min():.4g}.."
+                f"{dwl.max():.4g} nm); the redshift lookup uses arithmetic "
+                "uniform-grid indexing and would return wrong spectra — "
+                "leave uniform_oversample>=1 for non-uniform libraries"
+            )
     n_ages = templates.shape[1]
     if ages is None:
         ages = REFERENCE_AGES[::2]  # musefuse.py:190
@@ -278,8 +292,11 @@ def predict_batch(md: MuseModelData, x_batch, zsol: bool = False):
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )                                                     # [B, nZ, n_wl]
-    template = jnp.einsum("bzw,bz->bw", per_z, zhot,
-                          preferred_element_type=jnp.float32)
+    # exact one-hot selection: multiply-by-{0,1} + sum over the tiny nZ
+    # axis (7) keeps full f32 — a dot_general here would run at DEFAULT
+    # matmul precision (bf16 inputs on TPU), rounding per_z at ~0.4% which
+    # the 1/noise^2 chi2 amplifies into O(10) logL errors
+    template = jnp.sum(per_z * zhot[:, :, None], axis=1)  # [B, n_wl]
     template = template / (1e-10 + template[:, md.norm_index][:, None])
     template = template * 10.0 ** (-2.5 * md.calzetti[None, :]
                                    * EBV[:, None])

@@ -336,13 +336,18 @@ def _column_proposals(pile_u, live_idx, empty, key, B: int,
     ndim = pile_u.shape[1]
     C = max(1, min(n_slots, D))
     kd, kslot, kslotb, kk, kball, kcoin, kbox = jax.random.split(key, 7)
-    # deterministic slot assignment: the first C empty columns (argsort is
-    # stable), padded with non-empty columns when fewer are empty (their
-    # unions just join the proposal mixture — harmless). When every empty
-    # column is a slot (D <= n_slots, the common case), the ball mixture
-    # is the full joint union over all unfilled datasets — the reference's
-    # memberset union with per-column metrics.
-    slot_cols = jnp.argsort(~empty)[:C]                   # [C]
+    # slot assignment: a RANDOM subset of the empty columns (random
+    # tiebreak within the empty/non-empty partition), padded with random
+    # non-empty columns when fewer than C are empty (their unions just
+    # join the proposal mixture — harmless). The tiebreak matters when
+    # more than C columns are empty (plausible at D=4223, n_slots=128):
+    # a stable index-order pick would starve high-indexed empty columns
+    # of proposal mass until every lower-indexed one fills. When every
+    # empty column is a slot (D <= n_slots, the common case), the ball
+    # mixture is the full joint union over all unfilled datasets — the
+    # reference's memberset union with per-column metrics.
+    tiebreak = jax.random.uniform(kslotb, (D,))
+    slot_cols = jnp.argsort(jnp.where(empty, tiebreak, 2.0 + tiebreak))[:C]
     U_slot = pile_u[live_idx[:, slot_cols]]               # [K, C, ndim]
     mean_c = jnp.mean(U_slot, axis=0)                     # [C, ndim]
     scale_c = jnp.std(U_slot, axis=0) + 1e-12             # [C, ndim]

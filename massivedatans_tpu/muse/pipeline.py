@@ -106,7 +106,8 @@ def run_musefit(cube_path: str, region_path: str, zlo: float, zhi: float,
                 checkpoint_dir: str | None = None, mesh=None,
                 ages_file: str | None = None,
                 max_chunks: int | None = None,
-                checkpoint_every: int = 10):
+                checkpoint_every: int = 10,
+                dispatch_target_s: float | None = None):
     """Reference musefuse.py main flow; returns (result, problem, cube)."""
     from massivedatans_tpu.config import RunConfig
     from massivedatans_tpu.muse.likelihood import make_muse_problem
@@ -127,7 +128,8 @@ def run_musefit(cube_path: str, region_path: str, zlo: float, zhi: float,
                                      mesh=mesh,
                                      checkpoint_dir=checkpoint_dir,
                                      max_chunks=max_chunks,
-                                     checkpoint_every=checkpoint_every)
+                                     checkpoint_every=checkpoint_every,
+                                     dispatch_target_s=dispatch_target_s)
 
     if out_prefix is None:
         suffix = "_zsol_" if model == "ZSOL" else "_full_"

@@ -784,15 +784,22 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
 )
 def run_chunk(problem: Problem, state: EngineState, cfg: RunConfig,
               member_capacity: int, n_iters: int, axis_name=None,
-              model_axis_name=None):
-    """Run ``n_iters`` NS iterations in one device dispatch."""
+              model_axis_name=None, fill_budget=None):
+    """Run ``n_iters`` NS iterations in one device dispatch.
+
+    ``fill_budget``: optional TRACED int32 scalar overriding the static
+    ``cfg.chunk_fill_budget`` — the host can re-tune the per-dispatch
+    fill-round budget every chunk (bounding dispatch wall time under a
+    remote worker's execution watchdog) without recompiling: all budget
+    values share one executable.
+    """
     return run_chunk_inner(problem, state, cfg, member_capacity, n_iters,
-                           axis_name, model_axis_name)
+                           axis_name, model_axis_name, fill_budget)
 
 
 def run_chunk_inner(problem: Problem, state: EngineState, cfg: RunConfig,
                     member_capacity: int, n_iters: int, axis_name=None,
-                    model_axis_name=None):
+                    model_axis_name=None, fill_budget=None):
     """Un-jitted chunk body, for wrapping in shard_map (parallel/sharded.py).
 
     A ``while_loop`` over NS iterations with an EARLY EXIT once every dataset
@@ -821,8 +828,12 @@ def run_chunk_inner(problem: Problem, state: EngineState, cfg: RunConfig,
     )
     # fresh fill-round budget per dispatch (0 = unlimited); shared across
     # the chunk's iterations so one hard contour cannot stretch a single
-    # device execution past remote-worker watchdogs
-    budget0 = jnp.int32(cfg.chunk_fill_budget or 2**30)
+    # device execution past remote-worker watchdogs. A traced fill_budget
+    # operand (integrator adaptive dispatch) takes precedence.
+    if fill_budget is None:
+        budget0 = jnp.int32(cfg.chunk_fill_budget or 2**30)
+    else:
+        budget0 = jnp.asarray(fill_budget, jnp.int32)
     D = state.live_L.shape[1]
     dead0 = DeadChunk(
         idx=jnp.full((n_iters, D), -1, jnp.int32),

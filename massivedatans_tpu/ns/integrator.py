@@ -110,6 +110,7 @@ def multi_nested_integrator(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 10,
     max_chunks: Optional[int] = None,
+    dispatch_target_s: Optional[float] = None,
 ) -> NSResult:
     """Run the joint sampler to termination (or graceful preemption).
 
@@ -121,7 +122,22 @@ def multi_nested_integrator(
     bit-identical to an uninterrupted run (with lookahead, the advisory
     group labels steer dispatches one chunk later, so the label *phase*
     shifts across a resume — statistically immaterial, labels never affect
-    correctness)."""
+    correctness).
+
+    ``dispatch_target_s``: enable ADAPTIVE per-dispatch fill budgets
+    targeting this many seconds of device wall per chunk. The fill budget
+    is a traced operand of the chunk executable (engine.run_chunk
+    ``fill_budget``), so re-tuning costs no recompiles: each chunk's
+    measured wait and fill-round consumption give a per-round cost
+    estimate, and the next dispatch's budget is set to target/cost
+    (growth damped 1.5x/chunk, floor 256 rounds, ceiling
+    cfg.chunk_fill_budget or 65536). This bounds single-dispatch wall
+    time under remote-worker execution watchdogs even when late-run fill
+    escalation makes per-round cost drift by orders of magnitude. The
+    budget sequence depends on measured wall-clock, so resumes are NOT
+    bit-identical with this enabled (truncated fills are bias-free —
+    per-dataset volume ledger). Single-device path only (ignored with
+    ``mesh``)."""
     cfg = cfg or RunConfig()
     # termination parameters are baked into the jitted step (the check runs
     # on-device, engine.device_termination), so fold overrides into cfg
@@ -142,6 +158,10 @@ def multi_nested_integrator(
     ndim = problem.ndim
     member_capacity = cfg.resolve_member_capacity(D)
     t0 = time.time()
+    # wall-clock decomposition (stats['timing']): where host time goes —
+    # init/resume, blocked-on-device, host streaming, group labels, tails
+    timing = dict(init_s=0.0, block_s=0.0, host_s=0.0, groups_s=0.0,
+                  tail_s=0.0)
 
     state = engine_lib.init_state(problem, key, cfg)
     if mesh is not None:
@@ -153,11 +173,26 @@ def multi_nested_integrator(
             problem, mesh, cfg, member_capacity, cfg.chunk_iters
         )
     else:
-        def run(pr, st):
+        def run(pr, st, fill_budget=None):
             return engine_lib.run_chunk(
-                pr, st, cfg, member_capacity, cfg.chunk_iters
+                pr, st, cfg, member_capacity, cfg.chunk_iters,
+                fill_budget=fill_budget,
             )
     pile_cap = state.pile_u.shape[0]
+
+    # --- adaptive dispatch-length controller ---
+    # The first dispatch must be safe UNMEASURED: resuming into a deep-run
+    # state (fill escalation, 10-100x early-run per-round cost) with a
+    # saturated static budget reproducibly stretched one dispatch past the
+    # remote worker's execution watchdog, killing it before any timing
+    # could be observed (r3 "kernel fault" crash chains). Start small and
+    # let the controller grow 1.5x/chunk toward the target.
+    adaptive = dispatch_target_s is not None and mesh is None
+    budget_ceil = cfg.chunk_fill_budget or 65536
+    budget_floor = min(256, budget_ceil)
+    cur_budget = budget_ceil if not adaptive else max(
+        budget_floor, min(budget_ceil, 512)
+    )
 
     dead_u, dead_x, dead_L, dead_w, dead_mask = [], [], [], [], []
     # dead-point coordinates are reconstructed host-side from pile snapshots
@@ -245,6 +280,8 @@ def multi_nested_integrator(
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
+    timing["init_s"] = time.time() - t0
+
     # --- pipelined chunk dispatch ---
     # `pipeline` holds chunks already dispatched to the device; with
     # cfg.pipeline_lookahead > 0 the device computes chunk k+1 while the host
@@ -269,9 +306,14 @@ def multi_nested_integrator(
     prev_pile_size = resumed_pile_size
     growth_est = resumed_growth or 0
 
+    ctl_prev_rounds = None  # fill_rounds counter at the previous report
+
     def dispatch_chunk():
         nonlocal newest_state
-        st, dead = run(problem, newest_state)
+        if adaptive:
+            st, dead = run(problem, newest_state, jnp.int32(cur_budget))
+        else:
+            st, dead = run(problem, newest_state)
         # one packed device->host transfer per chunk: per-fetch latency on a
         # tunneled TPU otherwise dominates the whole run. Termination itself
         # runs on-device (engine.device_termination), so the host loop only
@@ -312,6 +354,23 @@ def multi_nested_integrator(
         )
         dead_mask.append(d_run)
         chunk_index += 1
+        if adaptive:
+            # per-round device cost from THIS chunk's blocked wait and
+            # fill-round consumption -> budget that fits the target wall.
+            # Under lookahead the wait underestimates device time when
+            # compute overlaps host work, so growth is damped (1.5x) while
+            # decrease is immediate; the first chunk (compile-carrying) is
+            # skipped via ctl_prev_rounds None-init on resume boundaries.
+            rounds_used = (rep.get("fill_rounds", 0) - ctl_prev_rounds
+                           if ctl_prev_rounds is not None else None)
+            ctl_prev_rounds = rep.get("fill_rounds", 0)
+            if rounds_used and rounds_used > 0 and chunk_index > 1:
+                per_round = max(t_c1 - t_c0, 1e-4) / rounds_used
+                want = int(dispatch_target_s / per_round)
+                cur_budget = int(
+                    max(budget_floor,
+                        min(budget_ceil, int(cur_budget * 1.5), want))
+                )
         final_logZ, final_H = rep["logZ"], rep["H"]
         newly_done = running & ~rep["running_final"]
         running = rep["running_final"].copy()
@@ -403,6 +462,8 @@ def multi_nested_integrator(
             jax.profiler.stop_trace()
             profile_dir = None
         t_c2 = time.time()
+        timing["block_s"] += t_c1 - t_c0
+        timing["host_s"] += t_c2 - t_c1
         if cfg.use_groups and D > 1 and running.any():
             # advisory group decomposition for focused draws (ns/subsets.py);
             # cheap at chunk cadence, replaces reference igraph clusters();
@@ -418,6 +479,7 @@ def multi_nested_integrator(
                 group_id=jnp.asarray(np.maximum(labels, 0), jnp.int32),
                 n_groups=jnp.int32(max(n_groups, 1)),
             )
+        timing["groups_s"] += time.time() - t_c2
         if debug_timing:
             import sys
 
@@ -466,6 +528,7 @@ def multi_nested_integrator(
             dead_w.append(np.zeros((0, D), np.float32))
             dead_mask.append(np.zeros((0, D), bool))
 
+    t_tail0 = time.time()
     resolve_pending(state)
 
     # Terminated datasets' live points are frozen by the running mask, so
@@ -475,6 +538,7 @@ def multi_nested_integrator(
     tails_u = np.asarray(tu)
     tails_x = np.asarray(tx)
     tails_L = np.asarray(tL)
+    timing["tail_s"] = time.time() - t_tail0
     tails_w = rep["last_logwidth"].astype(np.float32)
     last_remainderZ = rep["rem_logZ"]
     last_remainderZerr = rep["rem_logZerr"]
@@ -532,5 +596,7 @@ def multi_nested_integrator(
                 rep.get("stall_count", np.zeros(D))
                 > engine_lib.resolve_stall_limit(cfg)
             ),
+            timing={k: round(v, 3) for k, v in timing.items()},
+            fill_budget_last=int(cur_budget) if adaptive else None,
         ),
     )

@@ -131,11 +131,12 @@ N_GEN = int(sys.argv[1])
 NDATA = int(sys.argv[2])
 NLIVE = int(sys.argv[3])
 MAXSAMPLES = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+GENERATOR = sys.argv[5] if len(sys.argv) > 5 else "horns"
 
 sys.path.insert(0, "REPO_PATH")
-from massivedatans_tpu.datagen.generators import gen_horns  # same data
+from massivedatans_tpu.datagen.generators import gen_horns, gen_nothing
 
-data = gen_horns(N_GEN)
+data = (gen_nothing if GENERATOR == "nothing" else gen_horns)(N_GEN)
 x = data["x"].astype(numpy.float64)
 y = numpy.ascontiguousarray(data["y"][:, :NDATA], dtype=numpy.float64)
 nx, ndata = y.shape
@@ -221,7 +222,7 @@ out = dict(
     logZerr=[float(v) for v in results["logZerr"]],
 )
 result_path = os.path.join(
-    WORKDIR, "result_n%d_d%d_k%d.json" % (N_GEN, NDATA, NLIVE))
+    WORKDIR, "result_%s_n%d_d%d_k%d.json" % (GENERATOR, N_GEN, NDATA, NLIVE))
 with open(result_path, "w") as fh:
     json.dump(out, fh)
 print(json.dumps({k: v for k, v in out.items() if not isinstance(v, list)}))
@@ -273,18 +274,20 @@ def main():
     n_gen = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     ndata = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     nlive = int(sys.argv[3]) if len(sys.argv) > 3 else 400
+    maxsamples = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    generator = sys.argv[5] if len(sys.argv) > 5 else "horns"
 
     workdir = setup_harness()
     env = dict(os.environ, OMP_NUM_THREADS="1")
     proc = subprocess.run(
         [sys.executable, os.path.join(workdir, "run_reference.py"),
-         str(n_gen), str(ndata), str(nlive)],
+         str(n_gen), str(ndata), str(nlive), str(maxsamples), generator],
         env=env, capture_output=True, text=True, check=True,
     )
     print(proc.stdout.strip())
 
     result_path = os.path.join(
-        workdir, f"result_n{n_gen}_d{ndata}_k{nlive}.json")
+        workdir, f"result_{generator}_n{n_gen}_d{ndata}_k{nlive}.json")
     with open(result_path) as fh:
         result = json.load(fh)
     result["host"] = ("reference implementation (C kernels + MLFriends), "
@@ -295,7 +298,7 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as fh:
             baseline = json.load(fh)
-    baseline[f"horns_n{n_gen}_ndata{ndata}_nlive{nlive}"] = result
+    baseline[f"{generator}_n{n_gen}_ndata{ndata}_nlive{nlive}"] = result
     with open(baseline_path, "w") as fh:
         json.dump(baseline, fh, indent=1)
     print(f"updated {baseline_path}")

@@ -59,6 +59,14 @@ EVAL_BATCH = int(os.environ.get("MUSE_BENCH_EVAL_BATCH", "128"))
 # to ~1-2% (late-run explosion regime; proposals + membership tests are
 # ~us next to the [B, nspec, D] contraction).
 PROPOSAL_BATCH = int(os.environ.get("MUSE_BENCH_PROPOSAL_BATCH", "8192"))
+# Adaptive dispatch-length target (seconds of device wall per chunk).
+# The r3 failure mode: late-run fill escalation made budget-saturated
+# dispatches stretch past the axon worker's execution watchdog, killing
+# the worker ("kernel fault") every few chunks. The fill budget is now a
+# TRACED operand (engine.run_chunk fill_budget) tuned per chunk by the
+# integrator to hit this wall target — no recompiles. 0 disables (static
+# FILL_BUDGET only).
+DISPATCH_TARGET_S = float(os.environ.get("MUSE_BENCH_DISPATCH_TARGET", "12"))
 
 # reference wall-clock anchors (spaxels -> hours), massivens4.lyx:2230
 REF_POINTS = {100: 14.9, 4223: 140.0}
@@ -106,6 +114,7 @@ def main():
         # TPU workers can crash on hours-long runs; resume instead of redo
         checkpoint_dir=os.path.join(OUT, f"ckpt_{N_SPAXELS}"),
         checkpoint_every=CKPT_EVERY,
+        dispatch_target_s=DISPATCH_TARGET_S or None,
         cfg_overrides=dict(chunk_fill_budget=FILL_BUDGET,
                            chunk_iters=CHUNK_ITERS,
                            pipeline_lookahead=LOOKAHEAD,

@@ -1,0 +1,95 @@
+"""No-signal evidence calibration: reference vs repo at the SAME N.
+
+The reference's acceptance standard (plotevidences.py:17-36): fit the line
+model to pure-noise spectra (gennothing), compare each sampled logZ to the
+analytic no-signal evidence logZ0 = sum(-0.5 (y/sigma)^2) as a Bayes
+factor log10 B = (logZ - logZ0)/ln 10. Negative medians = no false line
+detections.
+
+Round-3 gap (VERDICT #8): the repo's recorded calibration (calib_out,
+N=10^4, median -1.31) and the reference comparison (round-2, N=100) used
+different suites. This tool runs BOTH sides on the identical stream —
+``gen_nothing(1000)`` first 100 spectra, nlive=400, tolerance=0.5 — the
+reference side from its measured run recorded in baseline_ref.json
+(tools/measure_reference_baseline.py ... nothing), the repo side executed
+here — and writes calib_parity.json with the paired medians.
+
+Usage: python tools/calib_parity.py    (CPU or TPU; writes at repo root)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+import numpy as np
+
+N_GEN = 1000
+NDATA = 100
+NLIVE = 400
+REF_KEY = f"nothing_n{N_GEN}_ndata{NDATA}_nlive{NLIVE}"
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
+
+
+def main():
+    import jax
+
+    from massivedatans_tpu.config import RunConfig
+    from massivedatans_tpu.datagen.generators import gen_nothing
+    from massivedatans_tpu.models.gaussline import make_gaussline_problem
+    from massivedatans_tpu.ns.integrator import multi_nested_integrator
+
+    with open(os.path.join(ROOT, "baseline_ref.json")) as fh:
+        base = json.load(fh)
+    if REF_KEY not in base:
+        raise SystemExit(
+            f"{REF_KEY} missing from baseline_ref.json — run "
+            f"tools/measure_reference_baseline.py {N_GEN} {NDATA} {NLIVE} "
+            "0 nothing first")
+    ref = base[REF_KEY]
+
+    data = gen_nothing(N_GEN)
+    y = np.asarray(data["y"], float)[:, :NDATA]
+    noise = float(data["noise_level"])
+    logZ0 = (-0.5 * (y / noise) ** 2).sum(axis=0)  # plotevidences.py:17-36
+
+    problem = make_gaussline_problem(data["x"], data["y"][:, :NDATA],
+                                     data["noise_level"])
+    cfg = RunConfig(nlive_points=NLIVE, tolerance=0.5, chunk_iters=1024,
+                    eval_batch=128, proposal_batch=512, shelf_capacity=8)
+    t0 = time.time()
+    result = multi_nested_integrator(problem, cfg, key=jax.random.key(1),
+                                     progress=False)
+    wall = time.time() - t0
+
+    ln10 = np.log(10.0)
+    ref_B = (np.asarray(ref["logZ"], float)[:NDATA] - logZ0) / ln10
+    our_B = (np.asarray(result.logZ, float) - logZ0) / ln10
+    payload = {
+        "protocol": f"gen_nothing({N_GEN})[:, :{NDATA}], nlive={NLIVE}, "
+                    "tol=0.5 (plotevidences.py:17-36 standard)",
+        "platform": jax.devices()[0].platform,
+        "reference": {
+            "median_log10B": round(float(np.median(ref_B)), 3),
+            "max_log10B": round(float(ref_B.max()), 3),
+            "frac_positive": round(float((ref_B > 0).mean()), 3),
+            "duration_s": round(float(ref["duration"]), 2),
+        },
+        "repo": {
+            "median_log10B": round(float(np.median(our_B)), 3),
+            "max_log10B": round(float(our_B.max()), 3),
+            "frac_positive": round(float((our_B > 0).mean()), 3),
+            "duration_s": round(wall, 2),
+            "ndraws": int(result.ndraws),
+        },
+    }
+    with open(os.path.join(ROOT, "calib_parity.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

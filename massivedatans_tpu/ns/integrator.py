@@ -204,8 +204,16 @@ def multi_nested_integrator(
     def resolve_pending(st):
         if not pending_idx:
             return
-        pile_u = np.asarray(st.pile_u)
-        pile_x = np.asarray(st.pile_x)
+        # fetch only the used pile prefix (bucketed so the device slice
+        # reuses a handful of executables): the full 2^21-row capacity is
+        # ~84 MB — 30-60 s per fetch through a tunneled TPU, and this runs
+        # at checkpoint cadence. Every pending index is < pile_size by
+        # construction (indices were written before this state).
+        n = int(st.pile_size)
+        cap = st.pile_u.shape[0]
+        n_pad = min(cap, ((n + 65535) // 65536) * 65536) or min(cap, 65536)
+        pile_u = np.asarray(st.pile_u[:n_pad])
+        pile_x = np.asarray(st.pile_x[:n_pad])
         for idx in pending_idx:
             safe = np.maximum(idx, 0)
             u = pile_u[safe]

@@ -27,13 +27,18 @@ VARIANTS = {
     "base": {},
     "rebuild4": dict(region_rebuild_every=4),
     "rebuild10": dict(region_rebuild_every=10),
+    "norebuild": dict(region_rebuild_every=10**6),  # geometry cond floor
     "boot3": dict(nbootstraps=3),
     "nofocus": dict(use_focus=False),
     "B64": dict(eval_batch=64, proposal_batch=256),
     "B256": dict(eval_batch=256, proposal_batch=1024),
+    "B512": dict(eval_batch=512, proposal_batch=2048),
     "S16": dict(shelf_capacity=16),
+    "S32": dict(shelf_capacity=32),
     "rebuild10+S16": dict(region_rebuild_every=10, shelf_capacity=16),
     "rebuild10+boot5": dict(region_rebuild_every=10, nbootstraps=5),
+    "B512+S32+r20": dict(eval_batch=512, proposal_batch=2048,
+                         shelf_capacity=32, region_rebuild_every=20),
 }
 
 

@@ -26,6 +26,7 @@ wall budget runs out first.
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -46,15 +47,51 @@ WORKER_CRASH_MARKS = (
     "DataLoss",
     "is not in the list of known backends",
 )
+# a dead tunnel makes jax calls BLOCK forever (observed: 12+ min at 0% CPU
+# mid-run) — kill an attempt whose log stops growing for this long. Must
+# comfortably exceed one compile (cache-miss graphs run minutes through
+# the remote compile service).
+STALL_S = float(os.environ.get("MUSE_RUN_STALL_S", "900"))
 
 
 def classify(tail: str, rc: int, dur: float) -> str:
-    if rc == 124 or rc == -15:
+    if rc in (124, -15, -9):
         return "timeout"
     for m in WORKER_CRASH_MARKS:
         if m in tail:
             return "worker-crash"
     return f"exit-{rc}"
+
+
+def run_attempt(cmd, lf, env, timeout_s: float, log_path: str):
+    """Run one attempt under BOTH an overall timeout and a log-stall
+    watchdog; returns (rc, outcome_hint). Kills the exact process group
+    this call created (never pattern-based)."""
+    proc = subprocess.Popen(cmd, stdout=lf, stderr=subprocess.STDOUT,
+                            env=env, start_new_session=True)
+    t0 = time.time()
+    hint = None
+    while True:
+        try:
+            rc = proc.wait(timeout=10)
+            return rc, hint
+        except subprocess.TimeoutExpired:
+            pass
+        now = time.time()
+        try:
+            log_age = now - os.path.getmtime(log_path)
+        except OSError:
+            log_age = 0.0
+        if now - t0 > timeout_s or log_age > STALL_S:
+            hint = "stall" if log_age > STALL_S else "timeout"
+            try:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            try:
+                return proc.wait(timeout=30), hint
+            except subprocess.TimeoutExpired:
+                return -9, hint
 
 
 def main() -> int:
@@ -79,14 +116,11 @@ def main() -> int:
                      f"(dispatch_target={target:g}s timeout={tmo}s) ====\n")
             lf.flush()
             t_a = time.time()
-            try:
-                rc = subprocess.call(
-                    ["timeout", str(tmo), sys.executable,
-                     os.path.join(HERE, "muse_bench.py"), str(N), OUT],
-                    stdout=lf, stderr=subprocess.STDOUT, env=env,
-                )
-            except KeyboardInterrupt:
-                raise
+            rc, kill_hint = run_attempt(
+                [sys.executable, os.path.join(HERE, "muse_bench.py"),
+                 str(N), OUT],
+                lf, env, tmo, log_path,
+            )
             dur = time.time() - t_a
 
         with open(log_path) as lf:
@@ -103,7 +137,7 @@ def main() -> int:
             print(metric)
             return 0
 
-        outcome = classify(tail, rc, dur)
+        outcome = kill_hint or classify(tail, rc, dur)
         attempts.append(dict(attempt=i, rc=rc, dur_s=round(dur, 1),
                              outcome=outcome, target_s=target))
         with open(hist_path, "w") as fh:

@@ -999,6 +999,86 @@ def chunk_report(state: EngineState, dead: DeadChunk, nlive: int):
     ])
 
 
+@functools.partial(jax.jit, static_argnames=("nlive",))
+def chunk_report_parts(state: EngineState, dead: DeadChunk, nlive: int):
+    """Split report: a small meta buffer plus the [4, T, D] dead block.
+
+    The dead block is T = chunk_iters rows but only ``iteration delta``
+    rows are written (the while_loop exits early at termination); packing
+    it separately lets the host fetch ``meta`` first (O(D) bytes), read
+    the executed row count, and fetch only a bucketed row prefix of the
+    block — on a single-dispatch run (chunk_iters ≈ 2× niter) that halves
+    the dominant device→host transfer through the tunnel.
+    """
+    T, D = dead.L.shape
+    ndraws = state.ndraws
+    rounds = state.fill_rounds
+    header = jnp.stack([
+        state.iteration.astype(jnp.float32),
+        (ndraws // 65536).astype(jnp.float32),
+        (ndraws % 65536).astype(jnp.float32),
+        state.pile_size.astype(jnp.float32),
+        state.stall_count.max().astype(jnp.float32),
+        state.member_overflow.astype(jnp.float32),
+        jnp.float32(T),
+        jnp.float32(D),
+        (rounds // 65536).astype(jnp.float32),
+        (rounds % 65536).astype(jnp.float32),
+    ])
+    meta = jnp.concatenate([
+        header,
+        state.logZ, state.H, state.last_logwidth,
+        state.rem_logZ, state.rem_logZerr,
+        state.running.astype(jnp.float32),
+        state.stall_count.astype(jnp.float32),
+        state.live_idx.astype(jnp.float32).reshape(-1),
+    ])
+    block = jnp.stack([
+        dead.logwidth,
+        dead.running.astype(jnp.float32),
+        dead.L,
+        dead.idx.astype(jnp.float32),  # exact: pile capacity << 2^24
+    ])
+    return meta, block
+
+
+def parse_meta(buf, D: int, nlive: int) -> dict:
+    """Host-side unpack of the chunk_report_parts meta buffer."""
+    import numpy as np
+
+    out = {}
+    o = 10
+    h = buf[:o]
+    out["iteration"] = int(h[0])
+    out["ndraws"] = int(h[1]) * 65536 + int(h[2])
+    out["pile_size"] = int(h[3])
+    out["stall_max"] = int(h[4])
+    out["member_overflow"] = int(h[5])
+    out["fill_rounds"] = int(h[8]) * 65536 + int(h[9])
+    for name in ("logZ", "H", "last_logwidth", "rem_logZ", "rem_logZerr"):
+        out[name] = buf[o:o + D].astype(np.float64)
+        o += D
+    out["running_final"] = buf[o:o + D] > 0.5
+    o += D
+    out["stall_count"] = buf[o:o + D].astype(np.int64)
+    o += D
+    out["live_idx"] = buf[o:o + nlive * D].reshape(nlive, D).astype(np.int32)
+    return out
+
+
+def parse_dead_block(block, rows: int) -> dict:
+    """Unpack the first ``rows`` rows of a (possibly prefix-sliced)
+    [4, T', D] dead block into the rep dict fields."""
+    import numpy as np
+
+    return {
+        "logwidth": block[0][:rows],
+        "running": block[1][:rows] > 0.5,
+        "L": block[2][:rows],
+        "idx": block[3][:rows].astype(np.int32),
+    }
+
+
 def parse_report(buf, T: int, D: int, nlive: int) -> dict:
     """Host-side unpack of chunk_report (numpy views, no copies)."""
     import numpy as np

@@ -322,21 +322,25 @@ def multi_nested_integrator(
             st, dead = run(problem, newest_state, jnp.int32(cur_budget))
         else:
             st, dead = run(problem, newest_state)
-        # one packed device->host transfer per chunk: per-fetch latency on a
-        # tunneled TPU otherwise dominates the whole run. Termination itself
-        # runs on-device (engine.device_termination), so the host loop only
-        # streams results and handles compaction/checkpoints/progress.
-        buf = engine_lib.chunk_report(st, dead, K)
+        # split report: a small meta buffer (fetched per chunk) plus the
+        # [4, T, D] dead block, of which only the executed-row prefix is
+        # fetched once the meta reveals the row count — the block is the
+        # dominant device->host payload through the tunnel (T x D x 16
+        # bytes), and a single-dispatch run executes only ~half its buffer.
+        # Termination itself runs on-device (engine.device_termination),
+        # so the host loop only streams results and handles
+        # compaction/checkpoints/progress.
+        meta_buf, block = engine_lib.chunk_report_parts(st, dead, K)
         # start the D2H copy as soon as the chunk finishes computing: with
         # lookahead > 0 several chunks are in flight, and a tunneled TPU's
         # per-fetch round trip (0.1-4 s observed) would otherwise serialize
         # on the blocking np.asarray below, one RTT per chunk
         try:
-            buf.copy_to_host_async()
+            meta_buf.copy_to_host_async()
         except AttributeError:  # non-jax array (tests stubbing run())
             pass
         newest_state = st
-        pipeline.append((st, buf))
+        pipeline.append((st, meta_buf, block))
 
     while running.any() or pipeline:
         if running.any() and not compact_due:
@@ -344,16 +348,33 @@ def multi_nested_integrator(
                 dispatch_chunk()
         elif not pipeline:
             break
-        state, buf = pipeline.popleft()
+        state, meta_buf, block = pipeline.popleft()
         t_c0 = time.time()
-        buf = np.asarray(buf)  # blocks until the chunk finishes + transfers
-        t_c1 = time.time()
-        rep = engine_lib.parse_report(buf, cfg.chunk_iters, D, K)
+        meta = np.asarray(meta_buf)  # blocks until the chunk finishes
+        rep = engine_lib.parse_meta(meta, D, K)
         it = rep["iteration"]
         # the chunk's while_loop exits early once every dataset terminates:
         # only the first (iteration delta) dead-buffer rows were written
         rows = it - prev_it
         prev_it = it
+        if rows > 0:
+            # bucketed prefix fetch: power-of-two row counts (>= 64) so the
+            # device slice reuses a handful of executables across chunks
+            T = cfg.chunk_iters
+            rows_pad = 64
+            while rows_pad < rows:
+                rows_pad *= 2
+            rows_pad = min(rows_pad, T)
+            blk = np.asarray(block[:, :rows_pad] if rows_pad < T else block)
+            rep.update(engine_lib.parse_dead_block(blk, rows))
+        else:  # no-op chunk after on-device termination (lookahead tail)
+            rep.update(dict(
+                logwidth=np.zeros((0, D), np.float32),
+                running=np.zeros((0, D), bool),
+                L=np.zeros((0, D), np.float32),
+                idx=np.zeros((0, D), np.int32),
+            ))
+        t_c1 = time.time()
         d_run = rep["running"][:rows]
         pending_idx.append(rep["idx"][:rows])
         dead_L.append(rep["L"][:rows])

@@ -141,10 +141,22 @@ def _dedup_random(flat, capacity: int, key):
     a = jax.random.bits(key, dtype=jnp.uint32) | jnp.uint32(1)  # odd
     h = a * (flat.astype(jnp.uint32) + jnp.uint32(1))  # bijective mod 2^32
     h = jnp.where(flat >= 0, h, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(h)
-    sh = h[order]
-    sv = flat[order]
-    valid = sv >= 0
+    # sort the KEYS ALONE and recover the values through the hash's modular
+    # inverse: h is bijective (odd multiplier mod 2^32), so
+    # flat = h * a^-1 - 1 exactly in u32 arithmetic. An argsort carries a
+    # payload through the comparator network and the two 400k-element
+    # random gathers it implies measured 15.5 ms per geometry rebuild at
+    # D=1000 (the single dominant engine cost, ~60% of steady-state chunk
+    # time at the default rebuild cadence); jnp.sort of bare u32 keys is
+    # 1.8 ms. Newton iteration gives the inverse of an odd a mod 2^32 in
+    # 5 multiplies (x_{k+1} = x_k (2 - a x_k) doubles correct bits).
+    a_inv = a
+    for _ in range(5):
+        a_inv = a_inv * (jnp.uint32(2) - a * a_inv)
+    sh = jnp.sort(h)
+    sv_u = sh * a_inv - jnp.uint32(1)
+    valid = sh != jnp.uint32(0xFFFFFFFF)
+    sv = jnp.where(valid, sv_u, jnp.uint32(0)).astype(jnp.int32)
     first = jnp.concatenate([valid[:1], (sh[1:] != sh[:-1]) & valid[1:]])
     pos = jnp.cumsum(first) - 1
     n_unique = first.sum().astype(jnp.int32)

@@ -61,12 +61,14 @@ SECOND_NDATA = int(os.environ.get("BENCH_SECOND_NDATA", "1000"))
 # denominator is extrapolated (clearly marked) — a measured run would be
 # ~days of CPU. 0 disables.
 THIRD_NDATA = int(os.environ.get("BENCH_THIRD_NDATA", "10000"))
-# moderate chunking at D=10^4: the packed report is [chunk_iters, D] x 4
-# channels, so the 8192-iteration single-dispatch design would move
-# ~1.3 GB per fetch through the tunnel; 2048 bounds it at ~330 MB while
-# still covering the run in ~3 dispatches (niter ~ 5,200 at N=10^4)
+# small chunks at D=10^4: a 2048- or even 512-iteration dispatch at this
+# width reproducibly crashes the axon worker (execution-watchdog kill:
+# per-iteration cost scales with D), and the [chunk_iters, D] x 4-channel
+# dead block must stay fetchable through the tunnel (~40 MB at 256).
+# 256-iteration dispatches with lookahead pipelining cover the ~5k-iter
+# run in ~20 round trips.
 THIRD_CHUNK_STAGES = [int(s) for s in os.environ.get(
-    "BENCH_THIRD_CHUNK_STAGES", "2048,512").split(",")]
+    "BENCH_THIRD_CHUNK_STAGES", "256,64").split(",")]
 
 # TPU v5e (lite) peak: 394 TFLOP/s bf16; we report MFU against the bf16 peak
 # — conservative (the likelihood matmul runs f32 HIGHEST, whose achievable
@@ -392,8 +394,12 @@ def bench_workload(data, ndata, rtt_s, n_gen=None, chunk_stages=None):
     return payload
 
 
-def main():
-    t_start = time.time()
+def child_main():
+    """One workload in this process (spawned by main): a TPU worker crash
+    poisons the whole jax client, so each workload gets a fresh one."""
+    ndata = int(os.environ["BENCH_CHILD_NDATA"])
+    n_gen = int(os.environ["BENCH_CHILD_NGEN"])
+    stages = [int(s) for s in os.environ["BENCH_CHILD_STAGES"].split(",")]
     try:
         from massivedatans_tpu.utils.cache import enable_compilation_cache
 
@@ -401,45 +407,92 @@ def main():
 
         from massivedatans_tpu.datagen.generators import gen_horns
 
-        data = gen_horns(N_GEN)
+        data = gen_horns(n_gen)
         with deadline(PROBE_TIMEOUT, "device probe"):
             rtt_s = measure_rtt()
+        payload = bench_workload(data, ndata, rtt_s, n_gen=n_gen,
+                                 chunk_stages=stages)
     except Exception:
-        emit({"metric": "wall-clock horns (setup failed)", "value": -1.0,
-              "unit": "s", "vs_baseline": 0.0,
-              "extra": {"error": traceback.format_exc(limit=3)}})
-        return 0
+        payload = {
+            "metric": f"wall-clock horns ndata={ndata} nlive={NLIVE} tol=0.5",
+            "value": -1.0, "unit": "s", "vs_baseline": 0.0,
+            "extra": {"error": traceback.format_exc(limit=3)},
+        }
+    emit(payload)
+    return 0
+
+
+WORKLOAD_TIMEOUT = int(os.environ.get("BENCH_WORKLOAD_TIMEOUT", "2600"))
+
+
+def run_workload_subprocess(ndata, n_gen, stages, retries=1):
+    """Run one workload in a subprocess; returns its payload dict.
+
+    The always-emit-JSON contract survives TPU worker crashes this way:
+    a crash kills one child (retried once — the compile cache makes the
+    retry cheap), never the parent or the remaining workloads."""
+    import subprocess
+
+    for attempt in range(retries + 1):
+        env = dict(
+            os.environ,
+            BENCH_CHILD="1",
+            BENCH_CHILD_NDATA=str(ndata),
+            BENCH_CHILD_NGEN=str(n_gen),
+            BENCH_CHILD_STAGES=",".join(str(s) for s in stages),
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=WORKLOAD_TIMEOUT,
+            )
+            sys.stderr.write(proc.stderr[-4000:])
+            line = None
+            for ln in proc.stdout.splitlines():
+                if ln.startswith("{") and '"metric"' in ln:
+                    line = ln
+            if line:
+                payload = json.loads(line)
+                if payload.get("value", -1) >= 0 or attempt == retries:
+                    return payload
+                sys.stderr.write(f"[bench] workload ndata={ndata} attempt "
+                                 f"{attempt + 1} errored; retrying\n")
+                continue
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"[bench] workload ndata={ndata} attempt "
+                             f"{attempt + 1} timed out\n")
+        except Exception:
+            sys.stderr.write(traceback.format_exc(limit=3))
+    return {"metric": f"wall-clock horns ndata={ndata} nlive={NLIVE} tol=0.5",
+            "value": -1.0, "unit": "s", "vs_baseline": 0.0,
+            "extra": {"error": "workload subprocess failed (see stderr)"}}
+
+
+def main():
+    if os.environ.get("BENCH_CHILD"):
+        return child_main()
+    t_start = time.time()
 
     # secondary workload first (the record line must be LAST): the scaling
     # regime where joint sampling wins, at a measured reference denominator
-    # when tools/measure_reference_baseline.py has produced one
     if SECOND_NDATA and SECOND_NDATA != NDATA and SECOND_NDATA <= N_GEN:
-        try:
-            second = bench_workload(data, SECOND_NDATA, rtt_s)
-            second["extra"]["total_bench_s"] = round(time.time() - t_start, 1)
-            emit(second)
-        except Exception:
-            sys.stderr.write("[bench] secondary workload failed:\n"
-                             + traceback.format_exc(limit=3))
+        second = run_workload_subprocess(SECOND_NDATA, N_GEN, CHUNK_STAGES)
+        second.setdefault("extra", {})["total_bench_s"] = round(
+            time.time() - t_start, 1)
+        emit(second)
 
     # the canonical 10^4-spectrum protocol, on its own generator stream
     if THIRD_NDATA:
-        try:
-            from massivedatans_tpu.datagen.generators import gen_horns
+        third = run_workload_subprocess(THIRD_NDATA, THIRD_NDATA,
+                                        THIRD_CHUNK_STAGES)
+        third.setdefault("extra", {})["total_bench_s"] = round(
+            time.time() - t_start, 1)
+        emit(third)
 
-            data3 = gen_horns(THIRD_NDATA)
-            third = bench_workload(data3, THIRD_NDATA, rtt_s,
-                                   n_gen=THIRD_NDATA,
-                                   chunk_stages=THIRD_CHUNK_STAGES)
-            third["extra"]["total_bench_s"] = round(time.time() - t_start, 1)
-            emit(third)
-            del data3
-        except Exception:
-            sys.stderr.write("[bench] third workload failed:\n"
-                             + traceback.format_exc(limit=3))
-
-    payload = bench_workload(data, NDATA, rtt_s)
-    payload["extra"]["total_bench_s"] = round(time.time() - t_start, 1)
+    payload = run_workload_subprocess(NDATA, N_GEN, CHUNK_STAGES)
+    payload.setdefault("extra", {})["total_bench_s"] = round(
+        time.time() - t_start, 1)
     emit(payload)
     return 0
 

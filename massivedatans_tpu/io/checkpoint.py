@@ -29,8 +29,8 @@ _META = "meta.json"
 
 # Bump whenever EngineState gains/loses/reorders fields: leaves are stored
 # positionally, so silently loading an old layout would scramble the state.
-FORMAT_VERSION = 4  # v4: per-dataset volume ledger ([D] logVolremaining/
-                    # logwidth) + fill_rounds counter
+FORMAT_VERSION = 5  # v5: term_iter[D] (per-dataset termination iteration,
+                    # host-side dead-row mask reconstruction)
 
 
 def _flatten_state(state: EngineState) -> dict:

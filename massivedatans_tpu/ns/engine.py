@@ -76,6 +76,12 @@ class EngineState(NamedTuple):
     # --- phantom points (friends.py:54-59,81-84 keep_phantom_points) ---
     phantom_idx: jax.Array  # [Q] int32 pile rows; -1 = empty slot
     phantom_L: jax.Array    # [Q] their likelihoods (top-Q dead points)
+    # --- termination record (host reconstructs per-row running masks) ---
+    term_iter: jax.Array    # [D] int32: iteration at which the dataset left
+                            # ``running`` (-1 while running). Running is
+                            # monotone, so dead-row masks need not be
+                            # streamed: row r is running iff term_iter < 0
+                            # or r+1 <= term_iter.
     # --- diagnostics ---
     stall_count: jax.Array  # [D] int32: fill rounds exhausted with empty shelf
     member_overflow: jax.Array  # scalar int32: unique live points > capacity events
@@ -297,6 +303,7 @@ def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
         n_groups=jnp.int32(1),
         phantom_idx=jnp.full((cfg.phantom_capacity,), -1, jnp.int32),
         phantom_L=jnp.full((cfg.phantom_capacity,), _NEG_INF, jnp.float32),
+        term_iter=jnp.full((D,), -1, jnp.int32),
         stall_count=jnp.zeros((D,), jnp.int32),
         member_overflow=jnp.int32(0),
         fill_rounds=jnp.int32(0),
@@ -966,6 +973,7 @@ def device_termination(state: EngineState, cfg: RunConfig, nlive: int):
             running=st.running & ~newly,
             rem_logZ=jnp.where(st.running, remZ, st.rem_logZ),
             rem_logZerr=jnp.where(st.running, remZerr, st.rem_logZerr),
+            term_iter=jnp.where(newly, st.iteration, st.term_iter),
         )
 
     if cfg.check_every <= 1:
@@ -1013,18 +1021,26 @@ def chunk_report(state: EngineState, dead: DeadChunk, nlive: int):
 
 @functools.partial(jax.jit, static_argnames=("nlive",))
 def chunk_report_parts(state: EngineState, dead: DeadChunk, nlive: int):
-    """Split report: a small meta buffer plus the [4, T, D] dead block.
+    """Split report: a small meta buffer plus the [2, T, D] dead block.
 
     The dead block is T = chunk_iters rows but only ``iteration delta``
     rows are written (the while_loop exits early at termination); packing
     it separately lets the host fetch ``meta`` first (O(D) bytes), read
     the executed row count, and fetch only a bucketed row prefix of the
-    block — on a single-dispatch run (chunk_iters ≈ 2× niter) that halves
-    the dominant device→host transfer through the tunnel.
+    block. Only ``L`` and ``idx`` are streamed: the per-row ``running``
+    masks and slab widths are exactly reconstructible host-side —
+    running is monotone (``term_iter`` records each dataset's
+    termination iteration) and logwidth follows the deterministic f32
+    ledger recurrence from the previous chunk's end state (the meta
+    carries the device's own f32 constants so the host replays identical
+    IEEE ops — see integrator._reconstruct_rows). Halving the block is
+    worth it: at D=10^4 the four-channel block was ~8 s/chunk of tunnel
+    transfer, the dominant cost of the whole run.
     """
     T, D = dead.L.shape
     ndraws = state.ndraws
     rounds = state.fill_rounds
+    K = nlive
     header = jnp.stack([
         state.iteration.astype(jnp.float32),
         (ndraws // 65536).astype(jnp.float32),
@@ -1036,6 +1052,10 @@ def chunk_report_parts(state: EngineState, dead: DeadChunk, nlive: int):
         jnp.float32(D),
         (rounds // 65536).astype(jnp.float32),
         (rounds % 65536).astype(jnp.float32),
+        # the device's own f32 ledger constants, so host reconstruction
+        # replays bit-identical arithmetic
+        jnp.log1p(-jnp.exp(-1.0 / K)).astype(jnp.float32),
+        jnp.float32(1.0 / K),
     ])
     meta = jnp.concatenate([
         header,
@@ -1043,11 +1063,12 @@ def chunk_report_parts(state: EngineState, dead: DeadChunk, nlive: int):
         state.rem_logZ, state.rem_logZerr,
         state.running.astype(jnp.float32),
         state.stall_count.astype(jnp.float32),
+        state.term_iter.astype(jnp.float32),
+        state.logVolremaining,
+        state.logwidth,
         state.live_idx.astype(jnp.float32).reshape(-1),
     ])
     block = jnp.stack([
-        dead.logwidth,
-        dead.running.astype(jnp.float32),
         dead.L,
         dead.idx.astype(jnp.float32),  # exact: pile capacity << 2^24
     ])
@@ -1059,7 +1080,7 @@ def parse_meta(buf, D: int, nlive: int) -> dict:
     import numpy as np
 
     out = {}
-    o = 10
+    o = 12
     h = buf[:o]
     out["iteration"] = int(h[0])
     out["ndraws"] = int(h[1]) * 65536 + int(h[2])
@@ -1067,6 +1088,8 @@ def parse_meta(buf, D: int, nlive: int) -> dict:
     out["stall_max"] = int(h[4])
     out["member_overflow"] = int(h[5])
     out["fill_rounds"] = int(h[8]) * 65536 + int(h[9])
+    out["lw_const"] = np.float32(h[10])
+    out["dv_const"] = np.float32(h[11])
     for name in ("logZ", "H", "last_logwidth", "rem_logZ", "rem_logZerr"):
         out[name] = buf[o:o + D].astype(np.float64)
         o += D
@@ -1074,20 +1097,24 @@ def parse_meta(buf, D: int, nlive: int) -> dict:
     o += D
     out["stall_count"] = buf[o:o + D].astype(np.int64)
     o += D
+    out["term_iter"] = buf[o:o + D].astype(np.int64)
+    o += D
+    out["logVol_end"] = buf[o:o + D].astype(np.float32)
+    o += D
+    out["logwidth_end"] = buf[o:o + D].astype(np.float32)
+    o += D
     out["live_idx"] = buf[o:o + nlive * D].reshape(nlive, D).astype(np.int32)
     return out
 
 
 def parse_dead_block(block, rows: int) -> dict:
     """Unpack the first ``rows`` rows of a (possibly prefix-sliced)
-    [4, T', D] dead block into the rep dict fields."""
+    [2, T', D] dead block into the rep dict fields."""
     import numpy as np
 
     return {
-        "logwidth": block[0][:rows],
-        "running": block[1][:rows] > 0.5,
-        "L": block[2][:rows],
-        "idx": block[3][:rows].astype(np.int32),
+        "L": block[0][:rows],
+        "idx": block[1][:rows].astype(np.int32),
     }
 
 

@@ -316,6 +316,15 @@ def multi_nested_integrator(
 
     ctl_prev_rounds = None  # fill_rounds counter at the previous report
 
+    # Host ledger mirror for dead-row reconstruction: per-row running masks
+    # and slab widths are NOT streamed (engine.chunk_report_parts) — the
+    # host replays the device's f32 ledger recurrence from the chunk-start
+    # values (end values of the previous chunk / the resumed state), using
+    # the device's own f32 constants from the meta buffer, so the replay is
+    # bit-identical IEEE arithmetic.
+    led_vol = np.asarray(state.logVolremaining, np.float32).copy()
+    led_lw = np.asarray(state.logwidth, np.float32).copy()
+
     def dispatch_chunk():
         nonlocal newest_state
         if adaptive:
@@ -356,6 +365,7 @@ def multi_nested_integrator(
         # the chunk's while_loop exits early once every dataset terminates:
         # only the first (iteration delta) dead-buffer rows were written
         rows = it - prev_it
+        it_base = prev_it
         prev_it = it
         if rows > 0:
             # bucketed prefix fetch: power-of-two row counts (>= 64) so the
@@ -367,6 +377,37 @@ def multi_nested_integrator(
             rows_pad = min(rows_pad, T)
             blk = np.asarray(block[:, :rows_pad] if rows_pad < T else block)
             rep.update(engine_lib.parse_dead_block(blk, rows))
+            # --- reconstruct running masks: running is monotone; a dead
+            # row at global iteration I was recorded BEFORE that
+            # iteration's termination check, so the dataset counts as
+            # running iff it had not terminated at an earlier iteration
+            term = rep["term_iter"]  # [D]; -1 while still running
+            r_glob = it_base + 1 + np.arange(rows)  # iteration value per row
+            rep["running"] = (term < 0)[None, :] | (
+                r_glob[:, None] <= term[None, :])
+            # --- replay the f32 volume-ledger recurrence for slab widths
+            adv = rep["idx"] >= 0
+            C = rep["lw_const"]
+            dv = rep["dv_const"]
+            w_rows = np.empty((rows, D), np.float32)
+            for r in range(rows):
+                a = adv[r]
+                led_lw = np.where(a, C + led_vol, led_lw).astype(np.float32)
+                w_rows[r] = led_lw
+                led_vol = np.where(a, led_vol - dv, led_vol)
+            rep["logwidth"] = w_rows
+            if not (np.array_equal(led_vol, rep["logVol_end"])
+                    and np.array_equal(led_lw, rep["logwidth_end"])):
+                log.warning(
+                    "ledger replay drifted from device values "
+                    "(max dvol=%.3g, dlw=%.3g) — resyncing",
+                    np.abs(led_vol - rep["logVol_end"]).max(),
+                    np.abs(led_lw - rep["logwidth_end"]).max(),
+                )
+            # resync to the device's end-of-chunk ledger either way: drift
+            # can never compound across chunks
+            led_vol = rep["logVol_end"].copy()
+            led_lw = rep["logwidth_end"].copy()
         else:  # no-op chunk after on-device termination (lookahead tail)
             rep.update(dict(
                 logwidth=np.zeros((0, D), np.float32),

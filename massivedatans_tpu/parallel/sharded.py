@@ -80,6 +80,7 @@ def state_pspecs() -> EngineState:
         prev_scale=r, prev_radius=r,
         group_id=d, n_groups=r,
         phantom_idx=r, phantom_L=r,  # replicated: merged from all-gathered dead
+        term_iter=d,
         stall_count=d, member_overflow=r, fill_rounds=r,
     )
 

@@ -146,3 +146,48 @@ def test_compaction_under_lookahead_logZ():
     x = result.x[sel].reshape(-1, 2)
     x2 = np.asarray(problem.transform_batch(u))
     np.testing.assert_allclose(x, x2, rtol=1e-5, atol=1e-6)
+
+
+def test_dead_row_reconstruction_exact():
+    """The host-side replay of the f32 volume ledger and the monotone
+    running masks (engine.chunk_report_parts streams only L/idx) must be
+    BIT-identical to the device's own per-row values in DeadChunk."""
+    from massivedatans_tpu.ns import engine as engine_lib
+
+    centers, problem = _problem(D=6, seed=31)
+    cfg = CFG
+    mc = cfg.resolve_member_capacity(problem.ndata)
+    state = engine_lib.init_state(problem, jax.random.key(9), cfg)
+    led_vol = np.asarray(state.logVolremaining, np.float32).copy()
+    led_lw = np.asarray(state.logwidth, np.float32).copy()
+    prev_it = 0
+    for _ in range(6):  # crosses termination events at these settings
+        st2, dead = engine_lib.run_chunk(problem, state, cfg, mc,
+                                         cfg.chunk_iters)
+        meta, block = engine_lib.chunk_report_parts(st2, dead, cfg.nlive_points)
+        rep = engine_lib.parse_meta(np.asarray(meta), problem.ndata,
+                                    cfg.nlive_points)
+        rows = rep["iteration"] - prev_it
+        if rows == 0:
+            break
+        rep.update(engine_lib.parse_dead_block(np.asarray(block), rows))
+        term = rep["term_iter"]
+        r_glob = prev_it + 1 + np.arange(rows)
+        running = (term < 0)[None, :] | (r_glob[:, None] <= term[None, :])
+        adv = rep["idx"] >= 0
+        C, dv = rep["lw_const"], rep["dv_const"]
+        w_rows = np.empty((rows, problem.ndata), np.float32)
+        for r in range(rows):
+            a = adv[r]
+            led_lw = np.where(a, C + led_vol, led_lw).astype(np.float32)
+            w_rows[r] = led_lw
+            led_vol = np.where(a, led_vol - dv, led_vol)
+        np.testing.assert_array_equal(
+            running, np.asarray(dead.running)[:rows])
+        np.testing.assert_array_equal(
+            w_rows, np.asarray(dead.logwidth)[:rows])
+        np.testing.assert_array_equal(led_vol,
+                                      np.asarray(st2.logVolremaining))
+        np.testing.assert_array_equal(led_lw, np.asarray(st2.logwidth))
+        prev_it = rep["iteration"]
+        state = st2

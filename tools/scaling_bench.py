@@ -37,7 +37,15 @@ def main():
         result = multi_nested_integrator(
             problem, cfg, key=jax.random.key(1), progress=True)
         wall = time.time() - t0
-        stats = dict(result.stats)
+        stats = {
+            k: (v.tolist() if isinstance(v, np.ndarray) else v)
+            for k, v in result.stats.items()
+        }
+        # per-dataset arrays are bulky at N=10^4: summarize
+        stats["stalled_total"] = int(np.sum(result.stats.get(
+            "stalled_mask", np.zeros(1))))
+        stats.pop("stall_count", None)
+        stats.pop("stalled_mask", None)
         stats["wall"] = wall
         stats["logZ0"] = float(result.logZ[0])
         fn = os.path.join(OUT, f"scaling_{N}.stats.json")

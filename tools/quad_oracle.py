@@ -15,7 +15,14 @@ acceptance standard is population-wide (plotevidences.py:17-36); 32+
 datasets makes the oracle a population check rather than a spot check
 (VERDICT r3 missing #4).
 
-Usage: python tools/quad_oracle.py [K] [out.json]   (CPU-only, ~minutes)
+Usage: python tools/quad_oracle.py [K] [out.json] [family]  (CPU, ~minutes)
+
+``family``: ``horns`` (default) or ``simple`` — the latter covers the
+two-component ``gensimple`` stream (gensimple.py:8-41; its blueshift
+convention is ported bit-exactly in datagen.generators.gen_simple), so the
+oracle proves the FIT against that family too, not just the generator
+(VERDICT r4 missing #3). The fit model and prior are the same 3-parameter
+Gaussian line either way; only the data stream differs.
 """
 
 import json
@@ -28,35 +35,55 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 import numpy as np
 
-from massivedatans_tpu.datagen.generators import gen_horns
-from tests.test_quadrature_oracle import quadrature_logZ
+from massivedatans_tpu.datagen.generators import gen_horns, gen_simple
+from tests.test_quadrature_oracle import (
+    quadrature_logZ, quadrature_logZ_refined,
+)
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 OUT = sys.argv[2] if len(sys.argv) > 2 else "quad_logZ.json"
+FAMILY = sys.argv[3] if len(sys.argv) > 3 else "horns"
 
 
 def main():
-    data = gen_horns(1000)
+    data = (gen_horns(1000) if FAMILY == "horns" else gen_simple(1000))
     x = np.asarray(data["x"], float)
     y = np.asarray(data["y"], float)[:, :K]
     noise = float(data["noise_level"])
 
-    grids = dict(coarse=(96, 1600, 96), fine=(160, 3000, 160))
-    out = {}
-    for name, (n_a, n_mu, n_sig) in grids.items():
+    if FAMILY == "simple":
+        # bright two-component spectra under the misspecified single-line
+        # fit have mu peaks narrower than any affordable global grid: use
+        # the locally-refined rule with its per-dataset convergence bound
         t0 = time.time()
-        out[name] = quadrature_logZ(x, y, noise, n_a=n_a, n_mu=n_mu,
-                                    n_sig=n_sig)
-        print(f"{name} grid {n_a}x{n_mu}x{n_sig}: {time.time()-t0:.1f}s",
-              flush=True)
+        lz, conv = quadrature_logZ_refined(x, y, noise)
+        print(f"refined quadrature: {time.time()-t0:.1f}s", flush=True)
+        grid_desc = {"grid": [128, 2000, 128],
+                     "refinement": "top-4 mu cells/dataset x 64 subpoints"}
+    else:
+        grids = dict(coarse=(96, 1600, 96), fine=(160, 3000, 160))
+        out = {}
+        for name, (n_a, n_mu, n_sig) in grids.items():
+            t0 = time.time()
+            out[name] = quadrature_logZ(x, y, noise, n_a=n_a, n_mu=n_mu,
+                                        n_sig=n_sig)
+            print(f"{name} grid {n_a}x{n_mu}x{n_sig}: {time.time()-t0:.1f}s",
+                  flush=True)
+        lz = out["fine"]
+        conv = np.abs(out["fine"] - out["coarse"])
+        grid_desc = {"grid": list(grids["fine"]),
+                     "grid_coarse": list(grids["coarse"])}
 
-    conv = np.abs(out["fine"] - out["coarse"])
     payload = {
+        "family": FAMILY,
         "n_gen": 1000,
         "ndata": K,
-        "grid": list(grids["fine"]),
-        "grid_coarse": list(grids["coarse"]),
-        "logZ": [round(float(v), 4) for v in out["fine"]],
+        **grid_desc,
+        "logZ": [round(float(v), 4) for v in lz],
+        # per-dataset convergence of the quadrature itself — consumers must
+        # restrict comparisons to datasets where this is << the sampler's
+        # logZerr
+        "conv_abs_diff": [round(float(v), 4) for v in conv],
         "conv_max_abs_diff": round(float(conv.max()), 5),
         "prior": "A=10^(2u-2), mu=400+400u, sig=10^(2u) "
                  "(gensimple_horns / sample.py:52-58 equivalents)",

@@ -50,6 +50,11 @@ CHUNK_STAGES = [int(s) for s in os.environ.get(
     "BENCH_CHUNK_STAGES", os.environ.get("BENCH_CHUNK_ITERS", "8192,1024,200")
 ).split(",")]
 EVAL_BATCH = int(os.environ.get("BENCH_EVAL_BATCH", "128"))
+# eval-batch escalation ceiling (integrator): hard fill phases run a larger
+# candidate batch at near-flat per-round cost; easy phases keep evaluation
+# parity at EVAL_BATCH. The round-3 512-crash was MUSE-specific (nspec=3600
+# memory); horns at nx=200 is measured safe at 512 (tools/perf_sweep.py).
+EVAL_BATCH_MAX = int(os.environ.get("BENCH_EVAL_BATCH_MAX", "512"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
 LOOKAHEAD = int(os.environ.get("BENCH_LOOKAHEAD", "1"))
 # second recorded workload: where the collaborative algorithm's advantage
@@ -149,6 +154,23 @@ def run_stage(problem, cfg, warmup: bool):
         buf = engine_lib.chunk_report_parts(st1, dead, cfg.nlive_points)
         tails = engine_lib.capture_tails(st1)
         jax.block_until_ready((buf, tails))
+        if cfg.eval_batch_max > cfg.eval_batch:
+            # pre-compile the escalated-batch executable the integrator may
+            # switch to mid-run, so its compile never lands in the timed wall
+            import dataclasses as _dc
+
+            scale = max(1, cfg.eval_batch_max // cfg.eval_batch)
+            cfg_big = _dc.replace(
+                cfg, eval_batch=cfg.eval_batch_max,
+                proposal_batch=cfg.proposal_batch * scale,
+                column_proposal_batch=(cfg.column_proposal_batch * scale
+                                       if cfg.column_proposal_batch else 0),
+            )
+            stb, deadb = engine_lib.run_chunk(
+                problem, st0, cfg_big, mc, cfg_big.chunk_iters
+            )
+            jax.block_until_ready(stb.logZ)
+            del stb, deadb
         warmup_s = time.time() - t_w
         del dead, buf, tails
 
@@ -245,6 +267,7 @@ def bench_workload(data, ndata, rtt_s, n_gen=None, chunk_stages=None):
             tolerance=0.5,
             chunk_iters=chunk,
             eval_batch=EVAL_BATCH,
+            eval_batch_max=EVAL_BATCH_MAX,
             proposal_batch=512,
             shelf_capacity=8,
             pipeline_lookahead=LOOKAHEAD,

@@ -72,9 +72,33 @@ class RunConfig:
                                      # fills are bias-free (per-dataset
                                      # volume ledger) and resume next chunk.
     region_rebuild_every: int = 10   # NS iterations between geometry rebuilds
-                                     # (reference: every 1000 draws, sample.py:134;
-                                     # stale regions are supersets of the current
-                                     # contour, so correctness is unaffected)
+                                     # (fallback cadence when region_rebuild_draws
+                                     # is 0; stale regions are supersets of the
+                                     # current contour, so correctness is
+                                     # unaffected)
+    region_rebuild_draws: int = 1000  # rebuild the main geometry after this
+                                     # many likelihood-evaluated candidates —
+                                     # the REFERENCE cadence (rebuild_every=1000
+                                     # draws, sample.py:134, hiermetriclearn.py:
+                                     # 200-211). Draw-based cadence self-tunes:
+                                     # easy phases (~15 valid draws/iter) rebuild
+                                     # every ~60 iterations instead of every 10
+                                     # (each rebuild sorts the [K*D] live-index
+                                     # set — ~45% of steady-state chunk time at
+                                     # the old iteration cadence), hard phases
+                                     # rebuild as often as the contour moves.
+                                     # 0 = use region_rebuild_every iterations.
+    eval_batch_max: int = 0          # host-side eval-batch escalation ceiling
+                                     # (integrator, single-device path): when a
+                                     # chunk's measured fill-rounds/iteration
+                                     # exceeds a threshold, the next dispatches
+                                     # use this batch size (own cached
+                                     # executable). Per-round device cost is
+                                     # nearly flat in the batch (fixed [*, D]
+                                     # shelf/threshold work dominates), so hard
+                                     # phases finish in ~B_max/B fewer rounds
+                                     # while easy phases keep evaluation parity
+                                     # at the small batch. 0 = disabled.
     chunk_iters: int = 50            # NS iterations per device dispatch
     pipeline_lookahead: int = 1      # extra chunks kept in flight: the device
                                      # computes chunk k+1 while the host blocks
@@ -151,6 +175,12 @@ class RunConfig:
             # reference (sample.py:189); here it gates the host-side
             # connected-component decomposition entirely
             use_groups=bool(_env_int("USE_GRAPH", int(cls.use_groups))),
+            # TPU engine knobs (no reference equivalent, MDT_ prefix)
+            eval_batch=_env_int("MDT_EVAL_BATCH", cls.eval_batch),
+            eval_batch_max=_env_int("MDT_EVAL_BATCH_MAX", cls.eval_batch_max),
+            region_rebuild_draws=_env_int(
+                "MDT_REBUILD_DRAWS", cls.region_rebuild_draws
+            ),
         )
         kw.update(overrides)
         return cls(**kw)

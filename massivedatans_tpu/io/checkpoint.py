@@ -29,8 +29,9 @@ _META = "meta.json"
 
 # Bump whenever EngineState gains/loses/reorders fields: leaves are stored
 # positionally, so silently loading an old layout would scramble the state.
-FORMAT_VERSION = 5  # v5: term_iter[D] (per-dataset termination iteration,
-                    # host-side dead-row mask reconstruction)
+FORMAT_VERSION = 6  # v6: draws_at_rebuild scalar (draw-based region rebuild
+                    # cadence); v5: term_iter[D] (per-dataset termination
+                    # iteration, host-side dead-row mask reconstruction)
 
 
 def _flatten_state(state: EngineState) -> dict:

@@ -11,6 +11,17 @@ matmuls:
 
 NaN spaxels (the reference's nansum, musefuse.py:379-382) are handled by
 zeroing their weights in the precomputed (y/var), (1/var), yy arrays.
+
+f32 underflow guard: the chi^2 is exactly invariant under a per-candidate
+rescaling m -> c*m (s1 -> c*s1, s2 -> c^2*s2, the best-fit scale absorbs
+c), but the raw template amplitudes are NOT safe to square in f32 — a
+high-EBV candidate's Calzetti factor drives m to ~1e-20 and m^2 ~ 1e-40
+flushes to zero, collapsing the likelihood to the no-star branch and
+silently erasing the high-extinction corner of the prior (the reference
+computes in C doubles, cmuselike.c:48-64, and never sees this). Every
+entry point therefore normalizes each candidate spectrum by its max |m|
+before the matmuls — bitwise harmless for well-scaled templates, exact by
+the scale invariance for everything else.
 """
 
 from __future__ import annotations
@@ -43,8 +54,19 @@ class MuseLikeData:
     zsol: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
 
+def _unit_scale(ypred, axis=1):
+    """Rescale each candidate spectrum to max |m| = 1 (see module note:
+    the profiled-scale chi^2 is invariant; this prevents f32 m^2 underflow
+    for high-extinction candidates). All-zero rows pass through unchanged
+    (the dead guard catches them)."""
+    norm = jnp.max(jnp.abs(ypred), axis=axis, keepdims=True)
+    return ypred / jnp.where(norm > 0.0, norm, 1.0)
+
+
 def scaled_loglike_batch(data: MuseLikeData, x_batch):
     ypred = predict_batch(data.md, x_batch, zsol=data.zsol)  # [B, nspec]
+    dead = jnp.all(ypred == 0.0, axis=1)
+    ypred = _unit_scale(ypred)
     s1 = jnp.dot(ypred, data.y_over_v, precision=_PREC,
                  preferred_element_type=jnp.float32)
     s2 = jnp.dot(jnp.square(ypred), data.inv_v, precision=_PREC,
@@ -53,7 +75,6 @@ def scaled_loglike_batch(data: MuseLikeData, x_batch):
     chi2 = data.yy[None, :] - 2.0 * s * s1 + jnp.square(s) * s2
     L = -0.5 * chi2
     # "no stars" guard (musefuse.py:363-366): all-zero model -> -1e100
-    dead = jnp.all(ypred == 0.0, axis=1)
     return jnp.where(dead[:, None], -1e100, L)
 
 
@@ -65,6 +86,10 @@ def scaled_loglike_batch_mp(data: MuseLikeData, x_batch, axis_name):
     slice and the inner products ``s1``/``s2`` are psum-reduced before the
     nonlinear best-fit-scale combination."""
     ypred_full = predict_batch(data.md, x_batch, zsol=data.zsol)  # [B, nspec]
+    dead = jnp.all(ypred_full == 0.0, axis=1)
+    # normalize on the FULL spectrum (replicated synthesis) so every shard
+    # applies the identical scale
+    ypred_full = _unit_scale(ypred_full)
     nloc = data.y_over_v.shape[0]
     i = jax.lax.axis_index(axis_name)
     ypred = jax.lax.dynamic_slice_in_dim(ypred_full, i * nloc, nloc, axis=1)
@@ -76,7 +101,6 @@ def scaled_loglike_batch_mp(data: MuseLikeData, x_batch, axis_name):
     s2 = s2 + 1e-10
     s = s1 / s2
     chi2 = data.yy[None, :] - 2.0 * s * s1 + jnp.square(s) * s2
-    dead = jnp.all(ypred_full == 0.0, axis=1)
     return jnp.where(dead[:, None], -1e100, -0.5 * chi2)
 
 
@@ -85,12 +109,13 @@ def scaled_loglike_paired(data: MuseLikeData, x):
     O(D * nspec) (one synthesis + reduction per spaxel), for the gradient
     backends (infer/)."""
     ypred = predict_batch(data.md, x, zsol=data.zsol)  # [D, nspec]
+    dead = jnp.all(ypred == 0.0, axis=1)
+    ypred = _unit_scale(ypred)
     s1 = jnp.einsum("dn,nd->d", ypred, data.y_over_v, precision=_PREC)
     s2 = jnp.einsum("dn,nd->d", jnp.square(ypred), data.inv_v,
                     precision=_PREC) + 1e-10
     s = s1 / s2
     chi2 = data.yy - 2.0 * s * s1 + jnp.square(s) * s2
-    dead = jnp.all(ypred == 0.0, axis=1)
     return jnp.where(dead, -1e100, -0.5 * chi2)
 
 

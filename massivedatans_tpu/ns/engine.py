@@ -88,6 +88,10 @@ class EngineState(NamedTuple):
     fill_rounds: jax.Array  # scalar int32: cumulative fill rounds (each one
                             # proposal batch evaluated) — the unit of device
                             # work the per-chunk budget meters
+    draws_at_rebuild: jax.Array  # scalar int32: ndraws at the last main-
+                            # geometry rebuild (draw-based rebuild cadence,
+                            # reference rebuild_every=1000 draws,
+                            # hiermetriclearn.py:200-211)
 
 
 class DeadChunk(NamedTuple):
@@ -314,6 +318,7 @@ def init_state(problem: Problem, key, cfg: RunConfig) -> EngineState:
         stall_count=jnp.zeros((D,), jnp.int32),
         member_overflow=jnp.int32(0),
         fill_rounds=jnp.int32(0),
+        draws_at_rebuild=jnp.int32(0),
     )
 
 
@@ -465,7 +470,7 @@ def _column_proposals(pile_u, live_idx, empty, key, B: int,
 def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
                   sstate, cfg: RunConfig, member_capacity: int,
                   axis_name=None, model_axis_name=None,
-                  budget_left=None):
+                  budget_left=None, live_bot=None):
     """Propose/evaluate/scatter until every running dataset has a queued
     candidate (reference __next__ fill loop, multi_nested_sampler.py:365-489).
 
@@ -486,7 +491,8 @@ def _fill_shelves(problem: Problem, state: EngineState, strategy, geom,
     # (multi_nested_sampler.py:373); our rounds evaluate eval_batch at once
     nsuperset_rounds = max(1, -(-cfg.nsuperset_draws // cfg.eval_batch))
     focus_every = 8
-    live_bot = shelves_lib.live_bottom(state.live_L, S)  # once per iteration
+    if live_bot is None:  # standalone use; ns_iteration passes the fused one
+        live_bot = shelves_lib.live_bottom(state.live_L, S)
     # column-focused proposals need a Region geometry (radius + metric) and,
     # under a mesh, would break the replicated-proposal invariant (local
     # empties differ per shard) — static gate on both
@@ -689,7 +695,16 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
     D = state.live_L.shape[1]  # local shard width under a mesh
     K = cfg.nlive_points
 
-    Lmins = state.live_L.min(axis=0)
+    # ONE [K, D] top_k pass supplies every live_L statistic this iteration
+    # needs: the sorted bottom (shelf insertion thresholds), the per-dataset
+    # minimum (shelf cleaning), and the argmin (the live point to replace).
+    # Separate min/argmin/max reductions cost ~0.6 ms/iteration at D=10^4 —
+    # the dominant per-iteration fixed cost after the rebuild cadence fix.
+    k_bot = min(cfg.shelf_capacity + 1, K)
+    neg_bot, bot_idx = jax.lax.top_k(-state.live_L.T, k_bot)  # [D, k]
+    live_bot = -neg_bot.T                   # [k, D] ascending live L's
+    worst = bot_idx[:, 0].astype(jnp.int32)  # [D] argmin(live_L, axis=0)
+    Lmins = live_bot[0]
     shelves = shelves_lib.clean(state.shelves, Lmins)
     state = state._replace(shelves=shelves)
 
@@ -702,14 +717,32 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
             axis_name,
         )
 
-    if geom_carry is None or cfg.region_rebuild_every <= 1:
+    if geom_carry is None or (
+        cfg.region_rebuild_draws <= 0 and cfg.region_rebuild_every <= 1
+    ):
         geom, overflow = rebuild(None)
+        state = state._replace(draws_at_rebuild=state.ndraws)
     else:
-        do = ((state.iteration % cfg.region_rebuild_every) == 0) & _global_any(
-            state.running, axis_name
-        )
+        if cfg.region_rebuild_draws > 0:
+            # reference cadence: rebuild after region_rebuild_draws
+            # likelihood-evaluated candidates (sample.py:134) — self-tuning
+            # in iteration terms, and far cheaper than a fixed iteration
+            # cadence in easy phases (the rebuild's member dedup sorts the
+            # [K*D] live-index set)
+            do = (
+                state.ndraws - state.draws_at_rebuild
+                >= cfg.region_rebuild_draws
+            ) & _global_any(state.running, axis_name)
+        else:
+            do = (
+                (state.iteration % cfg.region_rebuild_every) == 0
+            ) & _global_any(state.running, axis_name)
         geom, overflow = jax.lax.cond(
             do, rebuild, lambda _: (geom_carry, jnp.int32(0)), None
+        )
+        state = state._replace(
+            draws_at_rebuild=jnp.where(do, state.ndraws,
+                                       state.draws_at_rebuild)
         )
     if isinstance(geom, Region):  # force_shrink memory (MLFriends only)
         state = state._replace(
@@ -720,7 +753,7 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
 
     state, budget_left = _fill_shelves(
         problem, state, strategy, geom, sstate, cfg, member_capacity,
-        axis_name, model_axis_name, budget_left,
+        axis_name, model_axis_name, budget_left, live_bot=live_bot,
     )
     # a drained budget means the fill was truncated, not that the contour is
     # unfillable — empty shelves then must not count toward stall
@@ -731,7 +764,6 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
     filled = state.shelves.count > 0
     adv = state.running & filled
     cols = jnp.arange(D)
-    worst = jnp.argmin(state.live_L, axis=0)  # [D]
     dead_p = state.live_idx[worst, cols]
     dead_L = state.live_L[worst, cols]
 
@@ -781,7 +813,11 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
         shelves=shelves,
         live_idx=live_idx,
         live_L=live_L,
-        Lmax=live_L.max(axis=0),
+        # only the per-dataset MINIMUM live point is ever replaced, so for
+        # K >= 2 the live maximum is monotone: an O(D) update replaces the
+        # [K, D] reduction (state.Lmax is exact from init_state onward)
+        Lmax=(live_L.max(axis=0) if K == 1 else
+              jnp.where(adv, jnp.maximum(state.Lmax, head_L), state.Lmax)),
         logZ=logZ,
         H=H,
         logwidth=logwidth,
@@ -850,7 +886,8 @@ def run_chunk_inner(problem: Problem, state: EngineState, cfg: RunConfig,
         member_capacity, axis_name,
     )
     state = state._replace(
-        key=key0, member_overflow=state.member_overflow + overflow0
+        key=key0, member_overflow=state.member_overflow + overflow0,
+        draws_at_rebuild=state.ndraws,  # chunk-start build resets the cadence
     )
     # fresh fill-round budget per dispatch (0 = unlimited); shared across
     # the chunk's iterations so one hard contour cannot stretch a single

@@ -165,6 +165,8 @@ def multi_nested_integrator(
     ledger_drift_chunks = 0  # chunks whose host f32 ledger replay drifted
 
     state = engine_lib.init_state(problem, key, cfg)
+    run_big = None
+    big_active = False
     if mesh is not None:
         from massivedatans_tpu.parallel import sharded as sharded_lib
 
@@ -174,11 +176,36 @@ def multi_nested_integrator(
             problem, mesh, cfg, member_capacity, cfg.chunk_iters
         )
     else:
-        def run(pr, st, fill_budget=None):
-            return engine_lib.run_chunk(
-                pr, st, cfg, member_capacity, cfg.chunk_iters,
-                fill_budget=fill_budget,
+        def make_run(c):
+            def _run(pr, st, fill_budget=None):
+                return engine_lib.run_chunk(
+                    pr, st, c, member_capacity, c.chunk_iters,
+                    fill_budget=fill_budget,
+                )
+            return _run
+
+        run = make_run(cfg)
+        if cfg.eval_batch_max > cfg.eval_batch:
+            # eval-batch escalation (cfg.eval_batch_max): a second chunk
+            # executable with a larger candidate batch, selected per
+            # dispatch from the measured fill-rounds/iteration. Per-round
+            # device cost is nearly flat in the batch size (the fixed
+            # [*, D] shelf/threshold work dominates the [B, nx] @ [nx, D]
+            # matmul), so hard phases finish in ~scale fewer rounds for the
+            # same wall per round; easy phases stay at the small batch so
+            # model-evaluation counts keep parity with the reference's
+            # one-candidate-at-a-time protocol.
+            scale = max(1, cfg.eval_batch_max // cfg.eval_batch)
+            cfg_big = dataclasses.replace(
+                cfg,
+                eval_batch=cfg.eval_batch_max,
+                proposal_batch=cfg.proposal_batch * scale,
+                column_proposal_batch=(
+                    cfg.column_proposal_batch * scale
+                    if cfg.column_proposal_batch else 0
+                ),
             )
+            run_big = make_run(cfg_big)
     pile_cap = state.pile_u.shape[0]
 
     # --- adaptive dispatch-length controller ---
@@ -333,10 +360,11 @@ def multi_nested_integrator(
 
     def dispatch_chunk():
         nonlocal newest_state, dispatch_counter
+        use_run = run_big if (run_big is not None and big_active) else run
         if adaptive:
-            st, dead = run(problem, newest_state, jnp.int32(cur_budget))
+            st, dead = use_run(problem, newest_state, jnp.int32(cur_budget))
         else:
-            st, dead = run(problem, newest_state)
+            st, dead = use_run(problem, newest_state)
         with_live_idx = (
             cfg.use_groups and D > 1
             and dispatch_counter % group_every == 0
@@ -479,6 +507,9 @@ def multi_nested_integrator(
         )
         dead_mask.append(d_run)
         chunk_index += 1
+        rounds_used = (rep.get("fill_rounds", 0) - ctl_prev_rounds
+                       if ctl_prev_rounds is not None else None)
+        ctl_prev_rounds = rep.get("fill_rounds", 0)
         if adaptive:
             # per-round device cost from THIS chunk's blocked wait and
             # fill-round consumption -> budget that fits the target wall.
@@ -486,15 +517,34 @@ def multi_nested_integrator(
             # compute overlaps host work, so growth is damped (1.5x) while
             # decrease is immediate; the first chunk (compile-carrying) is
             # skipped via ctl_prev_rounds None-init on resume boundaries.
-            rounds_used = (rep.get("fill_rounds", 0) - ctl_prev_rounds
-                           if ctl_prev_rounds is not None else None)
-            ctl_prev_rounds = rep.get("fill_rounds", 0)
             if rounds_used and rounds_used > 0 and chunk_index > 1:
                 per_round = max(t_c1 - t_c0, 1e-4) / rounds_used
                 want = int(dispatch_target_s / per_round)
                 cur_budget = int(
                     max(budget_floor,
                         min(budget_ceil, int(cur_budget * 1.5), want))
+                )
+        if (run_big is not None and rounds_used is not None
+                and rounds_used >= 0 and rows > 0):
+            # escalate once fills need clearly more than one round per
+            # iteration; de-escalate when the big batch is back to ~1
+            # round/iter (the small batch then needs <= scale wall-flat
+            # rounds, and evaluates proportionally fewer candidates).
+            # Reports lag dispatches by `lookahead` chunks, so switches
+            # apply a chunk late — purely a throughput heuristic, the
+            # trajectory stays correct under either executable.
+            rpi = rounds_used / rows
+            if not big_active and rpi > 2.5:
+                big_active = True
+                log.info(
+                    "fill rounds/iter %.1f: escalating eval_batch %d -> %d",
+                    rpi, cfg.eval_batch, cfg.eval_batch_max,
+                )
+            elif big_active and rpi <= 1.05:
+                big_active = False
+                log.info(
+                    "fill rounds/iter %.2f: back to eval_batch %d",
+                    rpi, cfg.eval_batch,
                 )
         final_logZ, final_H = rep["logZ"], rep["H"]
         newly_done = running & ~rep["running_final"]

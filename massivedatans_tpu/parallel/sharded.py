@@ -82,6 +82,7 @@ def state_pspecs() -> EngineState:
         phantom_idx=r, phantom_L=r,  # replicated: merged from all-gathered dead
         term_iter=d,
         stall_count=d, member_overflow=r, fill_rounds=r,
+        draws_at_rebuild=r,
     )
 
 

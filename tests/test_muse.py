@@ -105,6 +105,15 @@ def test_scaled_likelihood_matches_nansum_oracle(tpl_files):
             assert np.isfinite(L[b]).all()
             continue
         compared += 1
+        # exact profiled scale in f64. The reference seeds s2 = 1e-10
+        # (cmuselike.c:51), which silently flattens the likelihood whenever
+        # sum(ypred^2/var) << 1e-10 — the deep-extinction corner where the
+        # raw template is ~1e-10 of its normalized scale. Our implementation
+        # rescales each candidate to max|m|=1 first (likelihood._unit_scale,
+        # exact by the chi^2's scale invariance), i.e. it computes the TRUE
+        # profiled chi^2 there; the oracle must too, so normalize the same
+        # way rather than reproduce the reference's epsilon artifact.
+        ypred = ypred / max(np.abs(ypred).max(), 1e-300)
         s = np.nansum(y * ypred[:, None] / var, axis=0) / (
             np.nansum(ypred[:, None] ** 2 / var, axis=0) + 1e-10)
         chi2 = np.nansum((y - s[None, :] * ypred[:, None]) ** 2 / var, axis=0)

@@ -39,6 +39,10 @@ def test_forced_member_overflow_evidence_unbiased():
     base = RunConfig(
         nlive_points=100, proposal_batch=128, eval_batch=64,
         shelf_capacity=4, chunk_iters=25, max_fill_rounds=512,
+        # dense rebuild cadence: this test needs MANY region builds so the
+        # capacity-64 subsampling below fires repeatedly (the default
+        # draw-based cadence rebuilds too rarely on this short run)
+        region_rebuild_draws=0, region_rebuild_every=5,
     )
     # member_capacity 64 << nlive 100: every region build (even the very
     # first, superset phase) must subsample -> overflow fires constantly

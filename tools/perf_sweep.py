@@ -43,11 +43,19 @@ VARIANTS = {
 
 
 def main():
-    data = gen_horns(1000)
+    only = os.environ.get("SWEEP_VARIANTS")
+    if only:
+        names = only.split(",")
+        for nm in names:
+            assert nm in VARIANTS, nm
+        selected = {nm: VARIANTS[nm] for nm in names}
+    else:
+        selected = VARIANTS
+    data = gen_horns(max(1000, NDATA))
     problem = make_gaussline_problem(data["x"], data["y"][:, :NDATA],
                                      data["noise_level"])
-    print(f"device: {jax.devices()[0]}, D={NDATA}")
-    for name, kw in VARIANTS.items():
+    print(f"device: {jax.devices()[0]}, D={NDATA}", flush=True)
+    for name, kw in selected.items():
         cfg = RunConfig(**{**BASE, **kw})
         mc = cfg.resolve_member_capacity(problem.ndata)
         state = engine_lib.init_state(problem, jax.random.key(0), cfg)
@@ -56,15 +64,17 @@ def main():
             state, dead = engine_lib.run_chunk(problem, state, cfg, mc, 50)
         jax.block_until_ready(dead.L)
         n0 = int(state.ndraws)
+        r0 = int(state.fill_rounds)
         t0 = time.time()
         for _ in range(4):
             state, dead = engine_lib.run_chunk(problem, state, cfg, mc, 50)
         jax.block_until_ready(dead.L)
         dt = (time.time() - t0) / 4
         evals = (int(state.ndraws) - n0) / 4
+        rounds = (int(state.fill_rounds) - r0) / 4
         print(f"{name:>18}: {dt*1000:7.1f} ms/chunk  "
               f"{50/dt:7.1f} it/s  {evals/dt:9.0f} evals/s  "
-              f"ndraws/chunk={evals:.0f}")
+              f"ndraws/chunk={evals:.0f}  rounds/chunk={rounds:.0f}")
 
 
 if __name__ == "__main__":

@@ -695,16 +695,19 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
     D = state.live_L.shape[1]  # local shard width under a mesh
     K = cfg.nlive_points
 
-    # ONE [K, D] top_k pass supplies every live_L statistic this iteration
-    # needs: the sorted bottom (shelf insertion thresholds), the per-dataset
-    # minimum (shelf cleaning), and the argmin (the live point to replace).
-    # Separate min/argmin/max reductions cost ~0.6 ms/iteration at D=10^4 —
-    # the dominant per-iteration fixed cost after the rebuild cadence fix.
+    # ONE [K, D] top_k pass (values only — an index payload makes the TPU
+    # sort carry an s32 companion plus a layout-transpose copy, profiled at
+    # ~2x the f32-only sort) supplies every live_L statistic this iteration
+    # needs: the sorted bottom (shelf insertion thresholds) and the
+    # per-dataset minimum (shelf cleaning + the dead point's likelihood).
+    # The argmin ROW is recovered as a one-hot mask by exact f32 equality —
+    # top_k returns the element itself, so `live_L == Lmins` is exact; the
+    # cumsum guard resolves ties to the first row (argmin's tie rule).
     k_bot = min(cfg.shelf_capacity + 1, K)
-    neg_bot, bot_idx = jax.lax.top_k(-state.live_L.T, k_bot)  # [D, k]
-    live_bot = -neg_bot.T                   # [k, D] ascending live L's
-    worst = bot_idx[:, 0].astype(jnp.int32)  # [D] argmin(live_L, axis=0)
+    live_bot = -jax.lax.top_k(-state.live_L.T, k_bot)[0].T  # [k, D] ascending
     Lmins = live_bot[0]
+    hit_raw = state.live_L == Lmins[None, :]
+    worst_hit = hit_raw & (jnp.cumsum(hit_raw, axis=0) == 1)  # [K, D] one-hot
     shelves = shelves_lib.clean(state.shelves, Lmins)
     state = state._replace(shelves=shelves)
 
@@ -761,17 +764,19 @@ def ns_iteration(problem: Problem, state: EngineState, cfg: RunConfig,
     budget_out = budget_left <= 0
 
     # --- advance: replace each dataset's worst live point (.:494-534) ---
+    # Dense one-hot select instead of [worst, cols] gather/scatter: TPU
+    # lowers the per-column gather+scatter through scoped-memory staging
+    # copies of the full [K, D] arrays (profiled ~1.5 ms/iteration at
+    # D=10^4); these are two streaming passes.
     filled = state.shelves.count > 0
     adv = state.running & filled
-    cols = jnp.arange(D)
-    dead_p = state.live_idx[worst, cols]
-    dead_L = state.live_L[worst, cols]
+    dead_p = jnp.max(jnp.where(worst_hit, state.live_idx, -1), axis=0)
+    dead_L = Lmins  # live_L[worst, d] IS the per-column minimum, bit-exactly
 
     head_idx, head_L, shelves = shelves_lib.pop(state.shelves, adv)
-    live_idx = state.live_idx.at[worst, cols].set(
-        jnp.where(adv, head_idx, dead_p)
-    )
-    live_L = state.live_L.at[worst, cols].set(jnp.where(adv, head_L, dead_L))
+    upd = worst_hit & adv[None, :]
+    live_idx = jnp.where(upd, head_idx[None, :], state.live_idx)
+    live_L = jnp.where(upd, head_L[None, :], state.live_L)
 
     # --- phantom-point memory (friends.py keep_phantom_points) ---
     # merge this iteration's dead points into the top-Q-by-L buffer so the

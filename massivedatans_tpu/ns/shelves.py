@@ -33,21 +33,29 @@ def init_shelves(capacity: int, ndata: int) -> Shelves:
 
 def clean(shelves: Shelves, Lmins) -> Shelves:
     """Drop entries with L <= Lmin(d), preserving FIFO order
-    (reference ``prepare()``, multi_nested_sampler.py:134-143)."""
+    (reference ``prepare()``, multi_nested_sampler.py:134-143).
+
+    Stable compaction WITHOUT argsort/gather: per-column gathers on TPU
+    stage through scoped memory (~1 ms/iteration at D=10^4, profiled);
+    the S-unrolled one-hot writes below are plain [S, D] vector passes.
+    """
     S = shelves.L.shape[0]
     slot = jnp.arange(S)[:, None]
     keep = (slot < shelves.count[None, :]) & (shelves.L > Lmins[None, :])
-    # stable compaction: sort each column by (dropped, original slot)
-    order_key = jnp.where(keep, slot, slot + S)  # kept entries first, in order
-    perm = jnp.argsort(order_key, axis=0)
-    new_idx = jnp.take_along_axis(shelves.idx, perm, axis=0)
-    new_L = jnp.take_along_axis(shelves.L, perm, axis=0)
-    new_count = keep.sum(axis=0).astype(jnp.int32)
-    valid = jnp.arange(S)[:, None] < new_count[None, :]
+    pos = jnp.cumsum(keep, axis=0) - keep  # exclusive prefix: output slot
+    new_idx = shelves.idx
+    new_L = shelves.L
+    for s in range(S):  # static unroll over the small capacity axis
+        match = keep & (pos == s)  # [S, D]; at most one True per column
+        has = jnp.any(match, axis=0)
+        iv = jnp.max(jnp.where(match, shelves.idx, -1), axis=0)
+        lv = jnp.max(jnp.where(match, shelves.L, _NEG_INF), axis=0)
+        new_idx = new_idx.at[s].set(jnp.where(has, iv, -1))
+        new_L = new_L.at[s].set(jnp.where(has, lv, _NEG_INF))
     return Shelves(
-        idx=jnp.where(valid, new_idx, -1),
-        L=jnp.where(valid, new_L, _NEG_INF),
-        count=new_count,
+        idx=new_idx,
+        L=new_L,
+        count=keep.sum(axis=0).astype(jnp.int32),
     )
 
 

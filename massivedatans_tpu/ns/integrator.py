@@ -167,6 +167,7 @@ def multi_nested_integrator(
     state = engine_lib.init_state(problem, key, cfg)
     run_big = None
     big_active = False
+    big_batch_chunks = 0
     if mesh is not None:
         from massivedatans_tpu.parallel import sharded as sharded_lib
 
@@ -359,8 +360,10 @@ def multi_nested_integrator(
     dispatch_counter = 0
 
     def dispatch_chunk():
-        nonlocal newest_state, dispatch_counter
+        nonlocal newest_state, dispatch_counter, big_batch_chunks
         use_run = run_big if (run_big is not None and big_active) else run
+        if use_run is run_big:
+            big_batch_chunks += 1
         if adaptive:
             st, dead = use_run(problem, newest_state, jnp.int32(cur_budget))
         else:
@@ -779,5 +782,7 @@ def multi_nested_integrator(
             timing={k: round(v, 3) for k, v in timing.items()},
             ledger_drift_chunks=ledger_drift_chunks,
             fill_budget_last=int(cur_budget) if adaptive else None,
+            # chunks dispatched at the escalated eval batch (cfg.eval_batch_max)
+            big_batch_chunks=big_batch_chunks,
         ),
     )

@@ -107,14 +107,21 @@ def run_musefit(cube_path: str, region_path: str, zlo: float, zhi: float,
                 ages_file: str | None = None,
                 max_chunks: int | None = None,
                 checkpoint_every: int = 10,
-                dispatch_target_s: float | None = None):
-    """Reference musefuse.py main flow; returns (result, problem, cube)."""
+                dispatch_target_s: float | None = None,
+                bad_windows=None):
+    """Reference musefuse.py main flow; returns (result, problem, cube).
+
+    ``bad_windows``: wavelength-window noise inflation passed through to
+    :func:`load_muse_cube` (None = the real-MUSE defaults). Synthetic
+    validation cubes have no sky residuals and pass ``[]`` so the
+    evidence/chi2 accounting covers every bin."""
     from massivedatans_tpu.config import RunConfig
     from massivedatans_tpu.muse.likelihood import make_muse_problem
     from massivedatans_tpu.muse.model import load_template_grid
     from massivedatans_tpu.ns.integrator import multi_nested_integrator
 
-    cube = load_muse_cube(cube_path, region_path, maxdata=maxdata)
+    cube = load_muse_cube(cube_path, region_path, maxdata=maxdata,
+                          bad_windows=bad_windows)
     ages = np.loadtxt(ages_file) if ages_file else None
     md = load_template_grid(template_files, ages=ages,
                             data_wl_nm=cube.wavelength_nm,

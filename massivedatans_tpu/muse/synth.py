@@ -50,7 +50,8 @@ def make_model_cube(path: str, region_path: str, template_files,
                     truths_path: str, ny: int = 10, nx: int = 10,
                     nspec: int = 600, seed: int = 3, noise: float = 0.05,
                     zlo: float = 0.0, zhi: float = 0.5,
-                    frac_empty: float = 0.1, cd3: float = 1.25):
+                    frac_empty: float = 0.1, cd3: float = 1.25,
+                    flux_lo: float = 0.3, flux_hi: float = 3.0):
     """FITS cube whose spaxels are DRAWN FROM THE FITTED MODEL FAMILY.
 
     Unlike ``make_synthetic_cube`` (a generic continuum field, good for
@@ -120,7 +121,7 @@ def make_model_cube(path: str, region_path: str, template_files,
     # noise. Spaxels whose template is numerically zero (dead SFH corner)
     # are reclassified as empty.
     mean_flux = np.abs(np.asarray(model, np.float64)).mean(axis=1)
-    target = 10.0 ** rng.uniform(np.log10(0.3), np.log10(3.0), D)
+    target = 10.0 ** rng.uniform(np.log10(flux_lo), np.log10(flux_hi), D)
     # only genuine f32 underflow (extreme EBV x blue k(lambda), or an SFH
     # dead corner) is reclassified as empty: the fitted model cannot
     # represent those spaxels either (the likelihood's no-stars guard), so

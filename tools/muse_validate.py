@@ -102,13 +102,20 @@ def analyze(out_prefix, truths_path, result_stats, wall):
     ])  # [D, S, ndim]
 
     fit = np.where(~empty)[0]
-    # termination class: a dataset whose running mask is still True on the
-    # final recorded row ended at the iteration cap (truncated posterior —
-    # the reference's own MAXSAMPLES protocol); others tolerance-terminated
-    # with a fully resolved posterior
+    # termination class: a dataset still running at the LAST DEAD row ended
+    # at the iteration cap (truncated posterior — the reference's own
+    # MAXSAMPLES protocol); others tolerance-terminated with a fully
+    # resolved posterior. The output rows are niter dead rows followed by
+    # nlive tail rows whose mask is True for every dataset, so the
+    # detector must index the dead block, not the final row.
     mask_rows = out.get("mask")
-    capped = (mask_rows[-1].astype(bool) if mask_rows is not None
-              and len(mask_rows) else np.zeros(D, bool))
+    if mask_rows is not None and len(mask_rows) > NLIVE:
+        # stored rows = niter dead rows + nlive all-True tail rows (the
+        # .stats.json niter counts both, sample.py-compatible), so the
+        # last dead row sits nlive rows from the end
+        capped = mask_rows[len(mask_rows) - NLIVE - 1].astype(bool)
+    else:
+        capped = np.zeros(D, bool)
 
     # --- SBC ranks: P(sample < truth) per parameter, uniform under
     # correct inference because truths are drawn from the fit prior.

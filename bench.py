@@ -152,7 +152,7 @@ def run_stage(problem, cfg, warmup: bool):
         st0 = engine_lib.init_state(problem, jax.random.key(1), cfg)
         st1, dead = engine_lib.run_chunk(problem, st0, cfg, mc, cfg.chunk_iters)
         buf = engine_lib.chunk_report_parts(st1, dead, cfg.nlive_points)
-        tails = engine_lib.capture_tails(st1)
+        tails = engine_lib.capture_tails_idx(st1)
         jax.block_until_ready((buf, tails))
         if cfg.eval_batch_max > cfg.eval_batch:
             # pre-compile the escalated-batch executable the integrator may

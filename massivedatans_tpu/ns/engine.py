@@ -1158,9 +1158,22 @@ def capture_tails(state: EngineState):
     ``remainder()``, multi_nested_sampler.py:536-562). Terminated datasets'
     live points are frozen by the running mask, so one capture at the end of
     the run is exact for all of them."""
-    order = jnp.argsort(state.live_L, axis=0)
-    idx_sorted = jnp.take_along_axis(state.live_idx, order, axis=0)
-    L_sorted = jnp.take_along_axis(state.live_L, order, axis=0)
+    idx_sorted, L_sorted = capture_tails_idx(state)
     u = state.pile_u[idx_sorted]             # [K, D, ndim]
     x = state.pile_x[idx_sorted]
     return u, x, L_sorted
+
+
+@jax.jit
+def capture_tails_idx(state: EngineState):
+    """Index-only tail capture: ``(idx_sorted [K, D], L_sorted [K, D])``.
+
+    The integrator reconstructs u/x from its host-side pile prefix (the
+    same fetch the dead-point stream already needs) — materializing the
+    [K, D, ndim] coordinate blocks on device and shipping them through
+    the tunnel costs ~100 MB at D=10^4 for data the host can gather from
+    ~16 MB of pile rows it already holds."""
+    order = jnp.argsort(state.live_L, axis=0)
+    idx_sorted = jnp.take_along_axis(state.live_idx, order, axis=0)
+    L_sorted = jnp.take_along_axis(state.live_L, order, axis=0)
+    return idx_sorted, L_sorted

@@ -230,19 +230,30 @@ def multi_nested_integrator(
     # (pile compaction) and at end of run
     pending_idx = []
 
-    def resolve_pending(st):
-        if not pending_idx:
-            return
+    pile_cache = {}
+
+    def fetch_pile_prefix(st):
         # fetch only the used pile prefix (bucketed so the device slice
         # reuses a handful of executables): the full 2^21-row capacity is
-        # ~84 MB — 30-60 s per fetch through a tunneled TPU, and this runs
-        # at checkpoint cadence. Every pending index is < pile_size by
-        # construction (indices were written before this state).
+        # ~84 MB — 30-60 s per fetch through a tunneled TPU. Cached per
+        # state so the end-of-run tail reconstruction reuses the fetch the
+        # dead-point resolution just made.
         n = int(st.pile_size)
         cap = st.pile_u.shape[0]
         n_pad = min(cap, ((n + 65535) // 65536) * 65536) or min(cap, 65536)
-        pile_u = np.asarray(st.pile_u[:n_pad])
-        pile_x = np.asarray(st.pile_x[:n_pad])
+        key = (id(st.pile_u), n_pad)
+        if pile_cache.get("key") != key:
+            pile_cache["key"] = key
+            pile_cache["u"] = np.asarray(st.pile_u[:n_pad])
+            pile_cache["x"] = np.asarray(st.pile_x[:n_pad])
+        return pile_cache["u"], pile_cache["x"]
+
+    def resolve_pending(st):
+        if not pending_idx:
+            return
+        # Every pending index is < pile_size by construction (indices were
+        # written before this state).
+        pile_u, pile_x = fetch_pile_prefix(st)
         for idx in pending_idx:
             safe = np.maximum(idx, 0)
             u = pile_u[safe]
@@ -713,11 +724,16 @@ def multi_nested_integrator(
 
     # Terminated datasets' live points are frozen by the running mask, so
     # every posterior tail (multi_nested_sampler.py remainder(), integrator
-    # :149-151,163-171) is captured once here, in one device fetch.
-    tu, tx, tL = engine_lib.capture_tails(state)
-    tails_u = np.asarray(tu)
-    tails_x = np.asarray(tx)
+    # :149-151,163-171) is captured once here. Only the sorted [K, D]
+    # indices + L cross the tunnel; coordinates are gathered from the
+    # host-side pile prefix (the fetch resolve_pending just made/cached) —
+    # the [K, D, ndim] device blocks would be ~100 MB at D=10^4.
+    ti, tL = engine_lib.capture_tails_idx(state)
+    tails_idx = np.asarray(ti)
     tails_L = np.asarray(tL)
+    pile_u_host, pile_x_host = fetch_pile_prefix(state)
+    tails_u = pile_u_host[tails_idx]
+    tails_x = pile_x_host[tails_idx]
     timing["tail_s"] = time.time() - t_tail0
     if timing.get("fetch_s", 0) > 0:
         timing["fetch_MBps"] = (

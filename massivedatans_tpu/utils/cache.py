@@ -18,6 +18,14 @@ _DEFAULT_DIR = os.environ.get(
 
 
 def enable_compilation_cache(path: str | None = None) -> bool:
+    """Point jax at a persistent on-disk compilation cache.
+
+    ``MDT_COMPILE_CACHE=""`` (empty) disables the cache entirely — the
+    test suite uses this: jax's executable serialization segfaults on the
+    virtual-8-device sharded CPU executables when a cache write actually
+    fires, and tests compile locally in seconds anyway."""
+    if path is None and _DEFAULT_DIR == "":
+        return False
     try:
         import jax
 

@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# Disable the persistent XLA compilation cache for the whole suite (the
+# CLI path would otherwise enable it process-wide): jax's executable
+# serialization segfaults (put_executable_and_time SIGSEGV) when a cache
+# write fires for the virtual-8-device sharded CPU executables, and test
+# compiles are local and fast anyway.
+os.environ["MDT_COMPILE_CACHE"] = ""
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

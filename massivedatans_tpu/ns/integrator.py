@@ -233,19 +233,27 @@ def multi_nested_integrator(
     pile_cache = {}
 
     def fetch_pile_prefix(st):
-        # fetch only the used pile prefix (bucketed so the device slice
-        # reuses a handful of executables): the full 2^21-row capacity is
-        # ~84 MB — 30-60 s per fetch through a tunneled TPU. Cached per
-        # state so the end-of-run tail reconstruction reuses the fetch the
-        # dead-point resolution just made.
+        # Cached per state so the end-of-run tail reconstruction reuses the
+        # fetch the dead-point resolution just made. Two strategies:
+        # - checkpointing runs fetch at cadence, so slice only the used
+        #   prefix (bucketed to 64Ki rows: a handful of slice executables,
+        #   each compiled once and reused many times);
+        # - without checkpoints this fires ONCE at end of run, where the
+        #   slice executable's compile (~20-30 s through a remote compile
+        #   service, measured as the bench tail) costs far more than just
+        #   fetching the raw full-capacity buffers (~84 MB, no compile).
         n = int(st.pile_size)
         cap = st.pile_u.shape[0]
         n_pad = min(cap, ((n + 65535) // 65536) * 65536) or min(cap, 65536)
         key = (id(st.pile_u), n_pad)
         if pile_cache.get("key") != key:
             pile_cache["key"] = key
-            pile_cache["u"] = np.asarray(st.pile_u[:n_pad])
-            pile_cache["x"] = np.asarray(st.pile_x[:n_pad])
+            if checkpoint_dir is None:
+                pile_cache["u"] = jax.device_get(st.pile_u)[:n_pad]
+                pile_cache["x"] = jax.device_get(st.pile_x)[:n_pad]
+            else:
+                pile_cache["u"] = np.asarray(st.pile_u[:n_pad])
+                pile_cache["x"] = np.asarray(st.pile_x[:n_pad])
         return pile_cache["u"], pile_cache["x"]
 
     def resolve_pending(st):

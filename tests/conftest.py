@@ -21,3 +21,22 @@ os.environ["MDT_COMPILE_CACHE"] = ""
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    XLA:CPU's compiler segfaults (backend_compile_and_load SIGSEGV)
+    reproducibly once ~80 tests of executables have accumulated in one
+    process — independent of the persistent-cache setting and of the
+    thunk runtime; every affected compile passes in a fresh process.
+    Dropping the executable caches at module boundaries keeps the
+    in-process accumulation below the crash threshold at the cost of
+    some recompilation (tests share compiles within a module anyway).
+    """
+    yield
+    jax.clear_caches()
